@@ -1,0 +1,105 @@
+"""In-memory entity-linking knowledge base.
+
+Replaces spaCy's ``InMemoryLookupKB`` + YAML loader
+(/root/reference/spacy_llm/tasks/entity_linker/util.py:160-199) and the
+top-n-by-prior candidate selector
+(/root/reference/spacy_llm/tasks/entity_linker/candidate_selector.py:13-75).
+
+The KB is small side-data: it is built once on the driver, put in the Ray
+object store (``ray.put``), and each EL actor fetches it once in ``__init__``
+— a broadcast lookup, never a shuffle join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+from .tasks.entity_linker import NIL, UNAVAILABLE_ENTITY_DESC
+
+
+@dataclass(frozen=True)
+class Entity:
+    id: str
+    description: str
+
+
+@dataclass
+class InMemoryKB:
+    """alias -> [(qid, prior)] plus qid -> (name, desc)."""
+
+    entities: Dict[str, Tuple[str, str]] = field(default_factory=dict)  # qid -> (name, desc)
+    aliases: Dict[str, List[Tuple[str, float]]] = field(default_factory=dict)
+
+    def add_entity(self, qid: str, name: str, desc: str) -> None:
+        self.entities[qid] = (name, desc)
+
+    def add_alias(self, alias: str, entities: Sequence[str], probabilities: Sequence[float]) -> None:
+        for qid in entities:
+            if qid not in self.entities:
+                raise ValueError(
+                    f"alias {alias!r} references entity {qid!r} not declared in `entities`"
+                )
+        self.aliases[alias] = list(zip(entities, probabilities))
+
+    def get_entity_description(self, qid: str) -> str:
+        ent = self.entities.get(qid)
+        return ent[1] if ent is not None and ent[1] else UNAVAILABLE_ENTITY_DESC
+
+    def get_entity_name(self, qid: str) -> Optional[str]:
+        ent = self.entities.get(qid)
+        return ent[0] if ent else None
+
+    def get_candidates(self, mention: str, top_n: int = 5) -> List[Entity]:
+        """Top-n candidates by prior prob (desc); NIL placeholder when the
+        alias is unknown (candidate_selector.py:49-60)."""
+        cands = self.aliases.get(mention)
+        if not cands:
+            return [Entity(NIL, UNAVAILABLE_ENTITY_DESC)]
+        ranked = sorted(cands, key=lambda c: c[1], reverse=True)[:top_n]
+        return [Entity(qid, self.get_entity_description(qid)) for qid, _ in ranked]
+
+    def get_candidates_batch(
+        self, mentions: Iterable[str], top_n: int = 5
+    ) -> List[List[Entity]]:
+        return [self.get_candidates(m, top_n) for m in mentions]
+
+
+def kb_from_dicts(
+    entities: Dict[str, Dict], aliases: Iterable[Dict]
+) -> InMemoryKB:
+    """Build a KB from the reference's YAML structure:
+    ``entities: {qid: {name, desc}}``, ``aliases: [{alias, entities, probabilities}]``."""
+    kb = InMemoryKB()
+    for qid, info in entities.items():
+        kb.add_entity(qid, info.get("name", qid), info.get("desc", ""))
+    for alias_data in aliases:
+        kb.add_alias(
+            alias_data["alias"], alias_data["entities"], alias_data["probabilities"]
+        )
+    return kb
+
+
+def kb_from_yaml(path: str) -> InMemoryKB:
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f)
+    return kb_from_dicts(data["entities"], data["aliases"])
+
+
+def kb_from_parquet(entities_path: str, aliases_path: str) -> InMemoryKB:
+    """Tabular KB artifact: entities(qid, name, desc) + aliases(alias, qid, prior)."""
+    import pyarrow.parquet as pq
+
+    kb = InMemoryKB()
+    ents = pq.read_table(entities_path)
+    for qid, name, desc in zip(*(ents[c].to_pylist() for c in ("qid", "name", "desc"))):
+        kb.add_entity(qid, name, desc)
+    als = pq.read_table(aliases_path)
+    grouped: Dict[str, List[Tuple[str, float]]] = {}
+    for alias, qid, prior in zip(*(als[c].to_pylist() for c in ("alias", "qid", "prior"))):
+        grouped.setdefault(alias, []).append((qid, prior))
+    for alias, pairs in grouped.items():
+        kb.add_alias(alias, [q for q, _ in pairs], [p for _, p in pairs])
+    return kb

@@ -1,0 +1,111 @@
+"""Context-window sharding.
+
+Mirrors the reference's greedy binary-search shard mapper
+(/root/reference/spacy_llm/tasks/util/sharding.py:22-103) and whitespace
+token estimator (:9-19), operating on our (text, tokens) representation.
+Shard text is recovered by char slicing (token-start to next-token-start), so
+inter-token whitespace is preserved exactly as in the reference's
+``doc[a:b].as_doc().text``.
+
+In the engine, sharding runs *inside* the LLM actor stage: a document row is
+expanded to shard prompts, the model is called per shard, responses are parsed
+per shard, and shard results are reduced back to one document row within the
+same ``map_batches`` invocation — no extra shuffle
+(cf. SURVEY.md §2.6's fuse-in-stage design).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List
+
+from ..tokenizer import Token
+
+
+def count_tokens_by_spaces(value: str) -> int:
+    """spacy.NTokenEstimator.v1 (sharding.py:16-17)."""
+    return len(value.split())
+
+
+@dataclass(frozen=True)
+class Shard:
+    text: str
+    char_offset: int  # char offset of shard start within the document text
+    tok_start: int
+    tok_end: int      # exclusive
+    i_shard: int
+    n_shards: int     # filled after mapping completes
+
+
+def _slice_text(text: str, tokens: List[Token], start: int, end: int) -> str:
+    if start >= len(tokens) or end <= start:
+        return ""
+    lo = tokens[start].start
+    hi = tokens[end].start if end < len(tokens) else len(text)
+    return text[lo:hi]
+
+
+def make_shard_mapper(
+    n_token_estimator: Callable[[str], int] = count_tokens_by_spaces,
+    buffer_frac: float = 1.1,
+):
+    """Returns ``map_to_shards(text, tokens, context_length, render) -> [Shard]``.
+
+    ``render(shard_text, i_shard, n_shards)`` renders the full prompt for a
+    shard; the mapper greedily grows/halves candidate shards until each
+    rendered prompt fits ``context_length`` under ``buffer_frac`` slack.
+    """
+
+    def map_to_shards(
+        text: str,
+        tokens: List[Token],
+        context_length: int | None,
+        render: Callable[[str, int, int], str],
+    ) -> List[Shard]:
+        if context_length is None or (
+            n_token_estimator(render(text, 0, 1)) * buffer_frac <= context_length
+        ):
+            return [Shard(text, 0, 0, len(tokens), 0, 1)]
+
+        n = len(tokens)
+        shards: List[tuple] = []  # (tok_start, tok_end)
+        fraction = 0.5
+        start_idx = 0
+        n_shards_est = 1
+        while start_idx < n:
+            remaining = n - start_idx
+            fits = False
+            end_idx = start_idx
+            while not fits:
+                end_idx = start_idx + max(1, int(remaining * fraction))
+                shard_text = _slice_text(text, tokens, start_idx, end_idx)
+                fits = (
+                    n_token_estimator(render(shard_text, len(shards), n_shards_est))
+                    * buffer_frac
+                    <= context_length
+                )
+                fraction /= 2
+                if end_idx - start_idx == 1 and not fits:
+                    raise ValueError(
+                        "Prompt size doesn't allow for the inclusion of a shard of "
+                        "length 1. Please review your prompt and reduce its size."
+                    )
+            shards.append((start_idx, end_idx))
+            fraction = 1
+            n_shards_est = len(shards) + 1
+            start_idx = end_idx
+
+        n_shards = len(shards)
+        return [
+            Shard(
+                text=_slice_text(text, tokens, s, e),
+                char_offset=tokens[s].start,
+                tok_start=s,
+                tok_end=e,
+                i_shard=i,
+                n_shards=n_shards,
+            )
+            for i, (s, e) in enumerate(shards)
+        ]
+
+    return map_to_shards
