@@ -17,10 +17,24 @@
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass
-from typing import List, Sequence
+from typing import List, Optional, Sequence, Set
 
-from ..tokenizer import Span
+from ..tokenizer import Span, Token
+
+# Marker-aware tokenization for sharding preannotated text: an [ENTi:LABEL]
+# marker is atomic so shard boundaries can never split it (the reference gets
+# this for free by emitting the marker as one spaCy token, task.py:100-110).
+_REL_TOKEN_RE = re.compile(r"\[ENT\d+:[^\]\s]+\]|\w+|[^\w\s]", re.UNICODE)
+ENT_MARKER_RE = re.compile(r"\[ENT(\d+):[^\]\s]+\]")
+
+
+def rel_tokenize(text: str) -> List[Token]:
+    return [
+        Token(m.group(), m.start(), m.end(), i)
+        for i, m in enumerate(_REL_TOKEN_RE.finditer(text))
+    ]
 
 
 @dataclass(frozen=True)
@@ -57,12 +71,18 @@ def _coerce_ent_index(value) -> int:
     return int(value)
 
 
-def parse_rel_response(response: str, n_ents: int) -> List[RelationItem]:
+def parse_rel_response(
+    response: str, n_ents: int = 0, valid_ids: Optional[Set[int]] = None
+) -> List[RelationItem]:
     """Parse JSON-per-line relations; keep only items with valid ent indices.
 
     Invalid JSON lines / validation failures are skipped (the reference only
-    warns, parser.py:31-36).
+    warns, parser.py:31-36). ``valid_ids`` replaces the ``0 <= i < n_ents``
+    range check when entity indices are global across shards (our sharded REL
+    stage keeps the preannotation's global numbering).
     """
+    if valid_ids is None:
+        valid_ids = set(range(n_ents))
     relations: List[RelationItem] = []
     for line in response.strip().split("\n"):
         try:
@@ -76,6 +96,6 @@ def parse_rel_response(response: str, n_ents: int) -> List[RelationItem]:
                 raise ValueError("relation must be a string")
         except (ValueError, KeyError, TypeError, json.JSONDecodeError):
             continue
-        if 0 <= dep < n_ents and 0 <= dest < n_ents:
+        if dep in valid_ids and dest in valid_ids:
             relations.append(RelationItem(dep=dep, dest=dest, relation=relation))
     return relations
