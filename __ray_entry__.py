@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship KG pipeline (transcripts -> documents -> NER -> REL ->
+  EL -> canonical triples) on the sf0.001-scale synthetic transcript table.
+- ``queries()``: one callable per implemented operator/pipeline
+  (SURVEY.md §2 coverage).
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query.
+
+The transcript table (driver input-hint shape) is synthesized
+deterministically at import time for the smoke/correctness scale factors —
+see spacy_llm_ray/data/transcripts.py.
 """
 
 from __future__ import annotations
@@ -18,27 +19,25 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from spacy_llm_ray.data import ensure_dataset
+from spacy_llm_ray.pipelines.queries import QUERIES
+
+# Generated up front (fast, pure pyarrow) so oracle SQL reading the parquet
+# path works regardless of execution order.
+ensure_dataset("sf0.001")
+ensure_dataset("sf0.01")
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from spacy_llm_ray.pipelines.kg import kg_triples_dataset
+
+    return kg_triples_dataset("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,132 @@
+"""Benchmark harness.
+
+Headline: full KG-construction pipeline (transcripts -> documents -> NER ->
+REL -> EL -> canonical distinct triples) over the sf-matched synthetic
+transcript table, with the default (sharded, context 4097) model config.
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "turns": N, "turns_per_sec": N}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+
+``--scaling``: run the headline twice in fresh processes at num_cpus=8 and 32
+on the same input and report both throughputs + scaling efficiency
+(sandbox stand-in for the N vs 4N node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from spacy_llm_ray.data import ensure_dataset
+    from spacy_llm_ray.pipelines import kg
+    from spacy_llm_ray.pipelines.queries import QUERIES
+
+    data_dir = ensure_dataset(SF_DIR)
+    # Warm the page cache so we measure compute + shuffle, not first disk read.
+    import pyarrow.parquet as pq
+
+    n_turns = pq.read_table(f"{data_dir}/transcripts.parquet", columns=["turn_idx"]).num_rows
+
+    # ---- headline: full KG pipeline (sharded default config)
+    t0 = time.monotonic()
+    n_triples = kg.kg_triples_dataset(SF_DIR).count()
+    headline = time.monotonic() - t0
+
+    # ---- representative per-operator timings
+    timings = {}
+    for name in (
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "events_sessions",
+        "docs_minhash_dedup",
+        "ann_cosine_topk",
+        "task_lemma",
+        "kg_doc_assembly",
+    ):
+        fn = QUERIES[name][0]
+        t0 = time.monotonic()
+        res = fn(SF_DIR)
+        if hasattr(res, "count"):
+            res.count()  # consume the lazy Dataset
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_pipeline",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NUM_CPUS,
+        "turns": n_turns,
+        "n_triples": n_triples,
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+
+
+def run_child(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo, r_hi = run_child(lo), run_child(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "kg_pipeline_scaling",
+                    "unit": "sec",
+                    "sf": r_lo["sf"],
+                    "sec_8": r_lo["value"],
+                    "sec_32": r_hi["value"],
+                    "turns_per_sec_8": r_lo["turns_per_sec"],
+                    "turns_per_sec_32": r_hi["turns_per_sec"],
+                    "scaling_efficiency": round(eff, 3),
+                }
+            )
+        )
+        return
+    print(json.dumps(run_bench()))
+
+
+if __name__ == "__main__":
+    main()

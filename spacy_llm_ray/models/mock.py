@@ -113,3 +113,81 @@ class EchoModel:
 
     def __call__(self, prompts: List[str]) -> List[str]:
         return [extract_fenced_text(p) for p in prompts]
+
+
+class MockUpperModel:
+    """'Translation' mock: uppercases the fenced text (SQL-replicable)."""
+
+    def __init__(self, context_length: Optional[int] = None):
+        self.context_length = context_length
+
+    def __call__(self, prompts: List[str]) -> List[str]:
+        return [extract_fenced_text(p).upper() for p in prompts]
+
+
+class MockLemmaModel:
+    """Lemma mock: one ``token: lowercase`` line per engine token of the
+    fenced text — exercises the lemma parser + count guard exactly."""
+
+    def __init__(self, context_length: Optional[int] = None):
+        self.context_length = context_length
+
+    def __call__(self, prompts: List[str]) -> List[str]:
+        from ..tokenizer import tokenize
+
+        out = []
+        for p in prompts:
+            toks = tokenize(extract_fenced_text(p))
+            out.append("\n".join(f"{t.text}: {t.text.lower()}" for t in toks))
+        return out
+
+
+class MockTextCatModel:
+    """Binary textcat mock: POS iff ``keyword`` occurs in the lowercased
+    fenced text (substring semantics, SQL LIKE-replicable)."""
+
+    def __init__(self, keyword: str, context_length: Optional[int] = None):
+        self._keyword = keyword.lower()
+        self.context_length = context_length
+
+    def __call__(self, prompts: List[str]) -> List[str]:
+        return [
+            "POS" if self._keyword in extract_fenced_text(p).lower() else "NEG"
+            for p in prompts
+        ]
+
+
+class MockSentimentModel:
+    """Sentiment mock: integer-valued score = count(pos_word) -
+    count(neg_word) over word tokens (exact in float, SQL-replicable)."""
+
+    def __init__(self, pos_word: str = "fast", neg_word: str = "slow",
+                 context_length: Optional[int] = None):
+        self._pos = pos_word
+        self._neg = neg_word
+        self._word_re = re.compile(r"\w+", re.UNICODE)
+        self.context_length = context_length
+
+    def __call__(self, prompts: List[str]) -> List[str]:
+        out = []
+        for p in prompts:
+            words = self._word_re.findall(extract_fenced_text(p).lower())
+            score = sum(w == self._pos for w in words) - sum(w == self._neg for w in words)
+            out.append(f"Answer: {score}")
+        return out
+
+
+class MockSummaryModel:
+    """Summarization mock: first ``n_words`` whitespace tokens, '''-fenced
+    like a real reply (SQL array_slice-replicable)."""
+
+    def __init__(self, n_words: int = 10, context_length: Optional[int] = None):
+        self._n = n_words
+        self.context_length = context_length
+
+    def __call__(self, prompts: List[str]) -> List[str]:
+        out = []
+        for p in prompts:
+            words = extract_fenced_text(p).split()
+            out.append("'''" + " ".join(words[: self._n]) + "'''")
+        return out

@@ -1,0 +1,838 @@
+"""Query registry: every implemented operator/pipeline exposed as a
+``(sf_dir) -> Dataset | DataFrame`` callable plus (where SQL-expressible) a
+DuckDB oracle string over the same inputs.
+
+Driver contract: the provided testdata tables are pre-registered DuckDB views
+(region nation customer supplier part orders lineitem events documents
+embeddings); the synthetic transcripts table (driver input hint shape) is read
+via read_parquet() from its deterministic generated path.
+
+Column names and types are aligned between the Ray implementation and the SQL
+text — the driver hashes values after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..data import transcripts as tdata
+from ..stages import ann as ann_mod
+from ..stages import dedup as dedup_mod
+from ..stages import textstats
+from ..stages.llm_stage import LLMTaskStage, NerStage
+from ..tasks.lemma import apply_lemmas, parse_lemma_response
+from ..tasks.raw import parse_raw_response
+from ..tasks.sentiment import parse_sentiment_response
+from ..tasks.summarization import parse_summarization_response
+from ..tasks.textcat import TextCatConfig, parse_textcat_response
+from ..tasks.translation import parse_translation_response
+from . import kg
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _rd():
+    import ray.data
+
+    return ray.data
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return _rd().read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _transcripts_sql_path(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """The oracle runs at sf0.01; the generated parquet path is deterministic."""
+    name = os.path.basename(str(sf_dir).rstrip("/"))
+    return os.path.join(tdata.DEFAULT_DATA_DIR, name, "transcripts.parquet")
+
+
+def _alt(surfaces) -> str:
+    return "|".join(re.escape(s) for s in sorted(surfaces, key=len, reverse=True))
+
+
+def _values(rows, quote=True) -> str:
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    return ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+
+
+_MENTION_PAT = r"\b(" + _alt(tdata.GAZETTEER) + r")\b"
+_FACT_PAT = (
+    "(" + _alt(tdata.PERSONS_KB + tdata.PERSONS_NIL) + ") ("
+    + _alt(tdata.PREDICATES) + ") ("
+    + _alt(set(tdata.CITIES + tdata.ORGS)) + r")\."
+)
+_LABEL_VALUES = _values(sorted(tdata.GAZETTEER.items()))
+_PRED_VALUES = _values(sorted(tdata.PREDICATES.items()))
+_CANON_VALUES = _values(
+    sorted((s, q, c) for s, (q, c) in tdata.canonical_map().items())
+)
+
+_TRANSCRIPTS_SQL = f"read_parquet('{_transcripts_sql_path()}')"
+
+_TRIPLES_CTE = f"""
+WITH t AS (SELECT conv_id, text FROM {_TRANSCRIPTS_SQL}),
+f AS (
+  SELECT conv_id,
+         unnest(regexp_extract_all(text, '{_FACT_PAT}', 1)) AS subj,
+         unnest(regexp_extract_all(text, '{_FACT_PAT}', 2)) AS pred_phrase,
+         unnest(regexp_extract_all(text, '{_FACT_PAT}', 3)) AS obj
+  FROM t),
+triples AS (
+  SELECT DISTINCT f.conv_id, f.subj, p.pred, f.obj,
+         cs.qid AS subj_qid, co.qid AS obj_qid,
+         cs.canon AS subj_canon, co.canon AS obj_canon
+  FROM f
+  JOIN (VALUES {_PRED_VALUES}) p(phrase, pred) ON f.pred_phrase = p.phrase
+  JOIN (VALUES {_CANON_VALUES}) cs(surface, qid, canon) ON f.subj = cs.surface
+  JOIN (VALUES {_CANON_VALUES}) co(surface, qid, canon) ON f.obj = co.surface
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# KG pipeline queries (synthetic transcripts; sf-matched generation)
+#
+# Oracle-checked KG queries run UNSHARDED (context_length=None): with a finite
+# context window, a shard boundary can split an entity mention and lose it —
+# exactly as the reference's token-range sharding does (sharding.py:22-103) —
+# which a SQL oracle cannot model. Sharded behavior is covered by
+# tests/test_kg_pipeline.py::test_sharding_in_pipeline and the bench config.
+
+
+def _oracle_models():
+    return kg.default_models(context_length=None)
+
+
+def q_kg_doc_assembly(sf_dir: str):
+    docs = kg.documents_dataset(sf_dir)
+    return docs.select_columns(["conv_id", "n_turns", "text"])
+
+
+SQL_KG_DOC_ASSEMBLY = f"""
+SELECT conv_id, CAST(count(*) AS INTEGER) AS n_turns,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS text
+FROM {_TRANSCRIPTS_SQL}
+GROUP BY conv_id
+"""
+
+
+def _explode_mentions(batch: pa.Table) -> pa.Table:
+    conv, mention, label, qid = [], [], [], []
+    for c, ms in zip(batch["conv_id"].to_pylist(), batch["mentions"].to_pylist()):
+        for m in ms:
+            conv.append(c)
+            mention.append(m["text"])
+            label.append(m["label"])
+            qid.append(m.get("kb_id") or "")
+    return pa.table({"conv_id": conv, "mention": mention, "label": label, "qid": qid})
+
+
+def q_kg_mentions(sf_dir: str):
+    ds = kg.kg_mentions_dataset(sf_dir, models=_oracle_models())
+    return ds.map_batches(_explode_mentions, batch_format="pyarrow").select_columns(
+        ["conv_id", "mention", "label"]
+    )
+
+
+SQL_KG_MENTIONS = f"""
+WITH t AS (SELECT conv_id, text FROM {_TRANSCRIPTS_SQL}),
+m AS (SELECT conv_id, unnest(regexp_extract_all(text, '{_MENTION_PAT}', 1)) AS mention FROM t)
+SELECT m.conv_id, m.mention, g.label
+FROM m JOIN (VALUES {_LABEL_VALUES}) g(surface, label) ON m.mention = g.surface
+"""
+
+
+def q_kg_linked_mentions(sf_dir: str):
+    ds = kg.kg_linked_dataset(sf_dir, models=_oracle_models())
+    return ds.map_batches(_explode_mentions, batch_format="pyarrow").select_columns(
+        ["conv_id", "mention", "qid"]
+    )
+
+
+SQL_KG_LINKED_MENTIONS = f"""
+WITH t AS (SELECT conv_id, text FROM {_TRANSCRIPTS_SQL}),
+m AS (SELECT conv_id, unnest(regexp_extract_all(text, '{_MENTION_PAT}', 1)) AS mention FROM t)
+SELECT m.conv_id, m.mention, c.qid
+FROM m JOIN (VALUES {_CANON_VALUES}) c(surface, qid, canon) ON m.mention = c.surface
+"""
+
+
+def q_kg_triples(sf_dir: str):
+    return kg.kg_triples_dataset(sf_dir, models=_oracle_models())
+
+
+SQL_KG_TRIPLES = _TRIPLES_CTE + "SELECT * FROM triples"
+
+
+def q_kg_triples_by_pred(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = kg.kg_triples_dataset(sf_dir, models=_oracle_models())
+    return ds.groupby("pred").aggregate(Count(alias_name="n_triples"))
+
+
+SQL_KG_TRIPLES_BY_PRED = _TRIPLES_CTE + (
+    "SELECT pred, count(*) AS n_triples FROM triples GROUP BY pred"
+)
+
+
+def q_kg_entity_degree(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = kg.kg_triples_dataset(sf_dir, models=_oracle_models())
+
+    def sides(batch: pa.Table) -> pa.Table:
+        ents = batch["subj_canon"].to_pylist() + batch["obj_canon"].to_pylist()
+        return pa.table({"entity": ents})
+
+    return ds.map_batches(sides, batch_format="pyarrow").groupby("entity").aggregate(
+        Count(alias_name="degree")
+    )
+
+
+SQL_KG_ENTITY_DEGREE = _TRIPLES_CTE + """
+, sides AS (
+  SELECT subj_canon AS entity FROM triples
+  UNION ALL
+  SELECT obj_canon AS entity FROM triples
+)
+SELECT entity, count(*) AS degree FROM sides GROUP BY entity
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational operators over the provided TPC-H-ish tables
+
+
+def q_q1_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
+        )
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("rev", rev)
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("rev", alias_name="revenue"),
+            Count(alias_name="n_rows"),
+        )
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("revenue"),
+            "revenue",
+            pc.round(batch["revenue"], 2),
+        )
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q3_top_orders(sf_dir: str):
+    """Shipping-priority-style query: BUILDING customers, orders before /
+    lineitems after a date, revenue per order, top 10.
+
+    customer is broadcast (small side); orders |><| lineitem uses the
+    hash-partitioned ``Dataset.join``."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    keys_ref = ray.put(keys)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    class _SemiFilter:
+        def __init__(self, ref):
+            self._keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = [c in self._keys for c in batch["o_custkey"].to_pylist()]
+            return batch.filter(pa.array(keep))
+
+    orders = orders.map_batches(
+        _SemiFilter, fn_constructor_kwargs=dict(ref=keys_ref),
+        batch_format="pyarrow", concurrency=(1, 2),
+    ).map_batches(
+        lambda b: b.filter(
+            pc.less(b["o_orderdate"], pa.scalar(pd.Timestamp("1998-01-01")))
+        ),
+        batch_format="pyarrow",
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater(b["l_shipdate"], pa.scalar(pd.Timestamp("1998-01-01")))
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    from ray.data.aggregate import Sum
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("rev", r)
+
+    agg = (
+        joined.map_batches(rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    top = agg.sort("revenue", descending=True).limit(10)
+    df = top.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df.rename(columns={"l_orderkey": "o_orderkey"})[["o_orderkey", "revenue"]]
+
+
+SQL_Q3 = """
+SELECT l_orderkey AS o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """orders -> customer -> nation via broadcast dict joins (small dims are
+    replicated, never shuffled)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = dict(
+        zip(
+            cust["c_custkey"],
+            cust["c_nationkey"].map(dict(zip(nation["n_nationkey"], nation["n_name"]))),
+        )
+    )
+    ref = ray.put(cust_to_nation)
+
+    class _AddNation:
+        def __init__(self, ref):
+            self._m = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            names = [self._m.get(c) for c in batch["o_custkey"].to_pylist()]
+            return batch.append_column("n_name", pa.array(names))
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    out = (
+        orders.map_batches(
+            _AddNation, fn_constructor_kwargs=dict(ref=ref),
+            batch_format="pyarrow", concurrency=(1, 2),
+        )
+        .groupby("n_name")
+        .aggregate(Sum("o_totalprice", alias_name="total"), Count(alias_name="n_orders"))
+    )
+    df = out.to_pandas()
+    df["total"] = df["total"].round(2)
+    return df
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, round(sum(o_totalprice), 2) AS total, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_top_spenders(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = orders.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="spend"))
+    df = agg.sort("spend", descending=True).limit(10).to_pandas()
+    df["spend"] = df["spend"].round(2)
+    return df
+
+
+SQL_TOP_SPENDERS = """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+FROM orders
+GROUP BY o_custkey
+ORDER BY spend DESC, o_custkey
+LIMIT 10
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type (event-time bucket groupby)."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(batch["ts"], unit="hour")
+        return batch.append_column("hour", hours)
+
+    out = (
+        ev.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    df = out.to_pandas()
+    df["sum_value"] = df["sum_value"].round(2)
+    return df
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_events_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Session windows (gap-based) per user over the ordered event log —
+    groupby(user_id) + in-group pandas windowing (ray_guide streaming shape)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        n_sessions = int(gaps.sum()) + 1
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [len(g)],
+            }
+        )
+
+    out = ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    df = out.to_pandas()
+    df["n_sessions"] = df["n_sessions"].astype("int64")
+    df["n_events"] = df["n_events"].astype("int64")
+    return df
+
+
+SQL_EVENTS_SESSIONS = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM d GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Documents: text analysis + dedup + fingerprints
+
+
+def q_docs_token_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textstats.token_count_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+SQL_DOCS_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(array_length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+       END AS n_tokens
+FROM documents
+"""
+
+
+def q_docs_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textstats.quality_counters_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_chars_calc", "n_words", "n_punct"]
+    )
+
+
+SQL_DOCS_QUALITY = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(length(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_words,
+       CAST(length(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct
+FROM documents
+"""
+
+
+def q_docs_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textstats.md5_fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+SQL_DOCS_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def q_docs_exact_dedup(sf_dir: str):
+    """Exact dedup: hash-partition + per-group first (min doc_id)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    hashed = ds.map_batches(textstats.md5_fingerprint_batch, batch_format="pyarrow")
+    return hashed.groupby("fingerprint").aggregate(
+        Min("doc_id", alias_name="keep_id"), Count(alias_name="n_copies")
+    )
+
+
+SQL_DOCS_EXACT_DEDUP = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def q_docs_langid(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        textstats.LangIdStage, batch_format="pyarrow", concurrency=(1, 2)
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def q_docs_rolling_fp(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        textstats.rolling_hash_fingerprint_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "rolling_fp"])
+
+
+def q_docs_minhash_dedup(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_mod.minhash_lsh_dedup(ds, threshold=0.8)
+    return out.select_columns(["doc_id", "dup_group"])
+
+
+def q_docs_simhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        dedup_mod.SimHashStage, batch_format="pyarrow", concurrency=(1, 2)
+    ).select_columns(["doc_id", "simhash"])
+
+
+# --------------------------------------------------------------------------
+# Embeddings: similarity search + near-dup
+
+_ANN_QUERY_IDS = [0, 1, 2]
+
+
+def _ann_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    wanted = {int(q) for q in _ANN_QUERY_IDS}
+    out = []
+    for vid, emb in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()):
+        if vid in wanted:
+            out.append((vid, np.array(emb, dtype=np.float64)))
+    return sorted(out)
+
+
+def q_ann_cosine_topk(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_mod.brute_force_topk(ds, _ann_queries(sf_dir), k=10)
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({', '.join(map(str, _ANN_QUERY_IDS))})
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS score
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10
+"""
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_mod.ivf_topk(ds, _ann_queries(sf_dir), k=10)
+
+
+def q_emb_neardup(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup_mod.embedding_neardup_pairs(ds, threshold=0.95)
+
+
+# --------------------------------------------------------------------------
+# LLM task stages over documents (deterministic mock models; the full
+# prompt -> model -> parse path runs for every row)
+
+def _task_stage(sf_dir: str, model, prompt_fn, parse_fn, out_col, out_type,
+                reduce="join"):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        LLMTaskStage,
+        fn_constructor_kwargs=dict(
+            model=model, prompt_fn=prompt_fn, parse_fn=parse_fn,
+            out_col=out_col, out_type=out_type, reduce=reduce,
+        ),
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 4),
+        num_cpus=1,
+    ).select_columns(["doc_id", out_col])
+
+
+def q_task_sentiment(sf_dir: str):
+    from ..models.mock import MockSentimentModel
+    from ..templates import sentiment_prompt
+
+    return _task_stage(
+        sf_dir, MockSentimentModel(), sentiment_prompt, parse_sentiment_response,
+        "sentiment", pa.float64(), reduce="weighted_mean",
+    )
+
+
+SQL_TASK_SENTIMENT = r"""
+SELECT doc_id,
+       CAST(length(list_filter(regexp_extract_all(lower(text), '\w+'), x -> x = 'fast'))
+          - length(list_filter(regexp_extract_all(lower(text), '\w+'), x -> x = 'slow'))
+          AS DOUBLE) AS sentiment
+FROM documents
+"""
+
+
+def q_task_textcat(sf_dir: str):
+    from ..models.mock import MockTextCatModel
+    from ..templates import textcat_prompt
+
+    cfg = TextCatConfig(labels=["Database"])
+    parse = lambda r: parse_textcat_response(cfg, r)["Database"]  # noqa: E731
+    prompt = lambda text, i_shard=0, n_shards=1: textcat_prompt(  # noqa: E731
+        text, ["Database"], i_shard=i_shard, n_shards=n_shards
+    )
+    return _task_stage(
+        sf_dir, MockTextCatModel("hash"), prompt, parse,
+        "score", pa.float64(), reduce="weighted_mean",
+    )
+
+
+SQL_TASK_TEXTCAT = """
+SELECT doc_id,
+       CASE WHEN lower(text) LIKE '%hash%' THEN 1.0 ELSE 0.0 END AS score
+FROM documents
+"""
+
+
+def q_task_summarize(sf_dir: str):
+    from ..models.mock import MockSummaryModel
+    from ..templates import summarization_prompt
+
+    prompt = lambda text, i_shard=0, n_shards=1: summarization_prompt(  # noqa: E731
+        text, max_n_words=10, i_shard=i_shard, n_shards=n_shards
+    )
+    return _task_stage(
+        sf_dir, MockSummaryModel(10), prompt, parse_summarization_response,
+        "summary", pa.string(), reduce="join",
+    )
+
+
+SQL_TASK_SUMMARIZE = r"""
+SELECT doc_id,
+       array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 10), ' ') AS summary
+FROM documents
+"""
+
+
+def q_task_translation(sf_dir: str):
+    from ..models.mock import MockUpperModel
+    from ..templates import translation_prompt
+
+    prompt = lambda text, i_shard=0, n_shards=1: translation_prompt(  # noqa: E731
+        text, target_lang="SHOUTING", i_shard=i_shard, n_shards=n_shards
+    )
+    return _task_stage(
+        sf_dir, MockUpperModel(), prompt, parse_translation_response,
+        "translation", pa.string(), reduce="join",
+    )
+
+
+SQL_TASK_TRANSLATION = "SELECT doc_id, upper(text) AS translation FROM documents"
+
+
+def q_task_raw(sf_dir: str):
+    from ..models.mock import EchoModel
+    from ..templates import raw_prompt
+
+    return _task_stage(
+        sf_dir, EchoModel(), raw_prompt, parse_raw_response,
+        "reply", pa.string(), reduce="join",
+    )
+
+
+SQL_TASK_RAW = "SELECT doc_id, text AS reply FROM documents"
+
+
+def q_task_lemma(sf_dir: str):
+    from ..models.mock import MockLemmaModel
+    from ..templates import lemma_prompt
+    from ..tokenizer import tokenize
+
+    ds = _task_stage(
+        sf_dir, MockLemmaModel(), lemma_prompt, parse_lemma_response,
+        "lemma_pairs", pa.list_(pa.list_(pa.string())), reduce="concat_list",
+    )
+
+    # Apply the reference's count guard against the doc token count and join.
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_toks": pa.array(
+                    [len(tokenize(t)) for t in b["text"].to_pylist()], type=pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_toks = dict(zip(docs["doc_id"], docs["n_toks"]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out = []
+        for did, pairs in zip(batch["doc_id"].to_pylist(), batch["lemma_pairs"].to_pylist()):
+            lem = apply_lemmas(n_toks[did], pairs)
+            out.append(" ".join(lem) if lem is not None else "")
+        return pa.table({"doc_id": batch["doc_id"], "lemmas": pa.array(out)})
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TASK_LEMMA = r"""
+SELECT doc_id,
+       array_to_string(list_transform(regexp_extract_all(text, '\w+|[^\w\s]'),
+                                      x -> lower(x)), ' ') AS lemmas
+FROM documents
+"""
+
+
+def q_task_spancat(sf_dir: str):
+    """SpanCat semantics (overlaps kept, sorted) over assembled transcript
+    documents — rows-only check (overlap bookkeeping is not SQL-friendly)."""
+    docs = kg.documents_dataset(sf_dir)
+    models = kg.default_models()
+    ds = docs.map_batches(
+        NerStage,
+        fn_constructor_kwargs=dict(
+            labels=kg.LABELS_NER, model=models["ner"], assign="spans", allow_overlap=True
+        ),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+    return ds.map_batches(_explode_mentions, batch_format="pyarrow").select_columns(
+        ["conv_id", "mention", "label"]
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry
+
+QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
+    # KG pipeline (flagship)
+    "kg_doc_assembly": (q_kg_doc_assembly, SQL_KG_DOC_ASSEMBLY),
+    "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
+    "kg_linked_mentions": (q_kg_linked_mentions, SQL_KG_LINKED_MENTIONS),
+    "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
+    "kg_triples_by_pred": (q_kg_triples_by_pred, SQL_KG_TRIPLES_BY_PRED),
+    "kg_entity_degree": (q_kg_entity_degree, SQL_KG_ENTITY_DEGREE),
+    # relational / windowed
+    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
+    "q3_top_orders": (q_q3_top_orders, SQL_Q3),
+    "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    # documents: text analysis / dedup
+    "docs_token_count": (q_docs_token_count, SQL_DOCS_TOKEN_COUNT),
+    "docs_quality": (q_docs_quality, SQL_DOCS_QUALITY),
+    "docs_fingerprint": (q_docs_fingerprint, SQL_DOCS_FINGERPRINT),
+    "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
+    "docs_langid": (q_docs_langid, None),
+    "docs_rolling_fp": (q_docs_rolling_fp, None),
+    "docs_minhash_dedup": (q_docs_minhash_dedup, None),
+    "docs_simhash": (q_docs_simhash, None),
+    # embeddings
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "emb_neardup": (q_emb_neardup, None),
+    # LLM task stages over documents
+    "task_sentiment": (q_task_sentiment, SQL_TASK_SENTIMENT),
+    "task_textcat": (q_task_textcat, SQL_TASK_TEXTCAT),
+    "task_summarize": (q_task_summarize, SQL_TASK_SUMMARIZE),
+    "task_translation": (q_task_translation, SQL_TASK_TRANSLATION),
+    "task_raw": (q_task_raw, SQL_TASK_RAW),
+    "task_lemma": (q_task_lemma, SQL_TASK_LEMMA),
+    "task_spancat": (q_task_spancat, None),
+}

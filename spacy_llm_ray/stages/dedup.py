@@ -1,0 +1,296 @@
+"""Deduplication stages for training-data pipelines.
+
+Scale shapes (ray_guide / SURVEY §2.7):
+
+- exact: vectorized content-hash per batch -> groupby(hash) -> first per
+  group (hash-partition + per-group first; only the hash column shuffles
+  logic-wise, rows move once),
+- MinHash+LSH: shingle -> minhash signature per doc (one map_batches) ->
+  explode to (band_id, band_hash, doc_id) rows -> groupby(band) -> candidate
+  pairs -> exact-Jaccard verify -> connected components over verified pairs
+  (min-label propagation on the driver over the candidate set, which is
+  orders of magnitude smaller than the corpus),
+- SimHash: 64-bit signature per doc; Hamming-near pairs via band buckets,
+- n-gram Jaccard verify: pure function, used as the LSH verifier,
+- embedding cosine near-dup: normalized vectors -> coarse LSH bucket
+  (random-hyperplane signs) -> exact cosine within bucket.
+
+All signatures are seeded/deterministic (md5-derived) — reruns byte-match.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Dict, List, Set, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def _stable_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big", signed=False)
+
+
+def shingles(text: str, n: int = 3) -> Set[str]:
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < n:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = shingles(a, n), shingles(b, n)
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ------------------------------------------------------------------ minhash
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    prime = (1 << 61) - 1
+    a = rng.randint(1, prime, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, prime, size=num_perm, dtype=np.uint64)
+    return a, b, np.uint64(prime)
+
+
+def minhash_signature(text: str, a, b, prime, n: int = 3) -> np.ndarray:
+    sh = shingles(text, n)
+    if not sh:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    hv = np.array([_stable_hash64(s) for s in sh], dtype=np.uint64)
+    # (a*h + b) % prime, rowwise min — vectorized over shingles x perms.
+    vals = (np.outer(hv, a) + b) % prime
+    return vals.min(axis=0)
+
+
+class MinHashStage:
+    """Adds a ``minhash`` fixed-size-list column (stateful: permutation
+    params built once per actor)."""
+
+    def __init__(self, num_perm: int = 128, shingle_n: int = 3,
+                 text_col: str = "text", seed: int = 42):
+        self._a, self._b, self._prime = _minhash_params(num_perm, seed)
+        self._n = shingle_n
+        self._text_col = text_col
+        self._num_perm = num_perm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [
+            minhash_signature(t, self._a, self._b, self._prime, self._n).astype(np.int64)
+            for t in batch[self._text_col].to_pylist()
+        ]
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(sigs) if sigs else np.array([], dtype=np.int64)),
+            self._num_perm,
+        )
+        return batch.append_column("minhash", arr)
+
+
+def explode_bands(batch: pa.Table, bands: int = 32, id_col: str = "doc_id") -> pa.Table:
+    """minhash column -> (band_id, band_hash, doc_id) rows for the LSH
+    bucket groupby."""
+    ids = batch[id_col].to_pylist()
+    sigs = batch["minhash"].to_pylist()
+    rows_band, rows_hash, rows_id = [], [], []
+    for doc_id, sig in zip(ids, sigs):
+        r = len(sig) // bands
+        for bi in range(bands):
+            chunk = sig[bi * r : (bi + 1) * r]
+            rows_band.append(bi)
+            rows_hash.append(_stable_hash64(",".join(map(str, chunk))) & ((1 << 63) - 1))
+            rows_id.append(doc_id)
+    return pa.table(
+        {
+            "band_id": pa.array(rows_band, type=pa.int32()),
+            "band_hash": pa.array(rows_hash, type=pa.int64()),
+            id_col: pa.array(rows_id),
+        }
+    )
+
+
+def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    ids = sorted(group["doc_id"].tolist())
+    if len(ids) < 2:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+    pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+    return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+
+
+def minhash_lsh_dedup(
+    docs_ds,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Full MinHash-LSH near-dup pipeline -> Dataset of (doc_id, dup_group)
+    where dup_group is the minimum doc_id of the near-dup component.
+
+    The candidate-pair set and the id->text lookup for verification are
+    collected to the driver: both are bounded by the number of *candidate
+    duplicates*, not corpus size. At larger scale the verify step becomes a
+    broadcast-join map_batches over the pair list; the component step stays
+    driver-side over verified pairs only.
+    """
+    sigs = docs_ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_n=shingle_n, text_col=text_col),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    band_rows = sigs.map_batches(
+        lambda b: explode_bands(b, bands=bands, id_col=id_col), batch_format="pyarrow"
+    )
+    pairs_ds = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+    cand_pairs = set()
+    for b in pairs_ds.iter_batches(batch_format="pandas"):
+        cand_pairs.update(zip(b["a"].tolist(), b["b"].tolist()))
+
+    if cand_pairs:
+        need_ids = {i for p in cand_pairs for i in p}
+        texts: Dict = {}
+        for b in docs_ds.map_batches(
+            lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+                if i in need_ids:
+                    texts[i] = t
+        verified = [
+            (a, b2)
+            for a, b2 in sorted(cand_pairs)
+            if ngram_jaccard(texts[a], texts[b2], shingle_n) >= threshold
+        ]
+    else:
+        verified = []
+
+    parent: Dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b2 in verified:
+        ra, rb = find(a), find(b2)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    group_map = {x: find(x) for x in parent}
+
+    import ray
+
+    ref = ray.put(group_map)
+
+    class _Assign:
+        def __init__(self, ref):
+            self._m = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_pylist()
+            return batch.append_column(
+                "dup_group", pa.array([self._m.get(i, i) for i in ids], type=pa.int64())
+            )
+
+    return docs_ds.map_batches(
+        _Assign, fn_constructor_kwargs=dict(ref=ref),
+        batch_format="pyarrow", concurrency=(1, 2),
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+class SimHashStage:
+    """64-bit SimHash over word features (stateful: nothing heavy, but kept a
+    class for symmetry/actor reuse)."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "simhash"):
+        self._text_col = text_col
+        self._out_col = out_col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        words = _WORD_RE.findall(text.lower())
+        if not words:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for w in words:
+            h = _stable_hash64(w)
+            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+            acc += bits * 2 - 1
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out & ((1 << 63) - 1)  # keep int64-friendly
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [self.simhash64(t) for t in batch[self._text_col].to_pylist()]
+        return batch.append_column(self._out_col, pa.array(hs, type=pa.int64()))
+
+
+# --------------------------------------------------------- embedding cosine
+
+def embedding_neardup_pairs(
+    emb_ds,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+):
+    """Near-duplicate (a, b, cos) pairs via random-hyperplane LSH buckets +
+    exact cosine within bucket. Bucket groupby is the only shuffle."""
+    import ray
+
+    def add_bucket(batch: pa.Table, planes=None) -> pa.Table:
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
+        signs = (vecs @ planes.T) > 0
+        bucket = np.zeros(len(vecs), dtype=np.int64)
+        for i in range(planes.shape[0]):
+            bucket |= signs[:, i].astype(np.int64) << i
+        return batch.append_column("bucket", pa.array(bucket))
+
+    # Deterministic planes; broadcast via closure capture (small).
+    rng = np.random.RandomState(seed)
+    dim = len(emb_ds.take(1)[0][vec_col])
+    planes = rng.randn(n_planes, dim).astype(np.float32)
+
+    with_bucket = emb_ds.map_batches(
+        lambda b: add_bucket(b, planes=planes), batch_format="pyarrow"
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        vecs = np.stack(group[vec_col].to_numpy())
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        v = vecs / norms
+        sims = v @ v.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "a": ids[ia[mask]],
+                "b": ids[ib[mask]],
+                "cos": np.round(sims[ia[mask], ib[mask]].astype(np.float64), 6),
+            }
+        )
+
+    return with_bucket.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")

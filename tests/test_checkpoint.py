@@ -1,0 +1,89 @@
+"""Checkpoint/resume: kill mid-run, rerun skips completed partitions, output
+identical to an uninterrupted run; config-change guard fails fast
+(partition-level analog of /root/reference/spacy_llm/tests/test_cache.py:90-137)."""
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from spacy_llm_ray.data import ensure_dataset
+from spacy_llm_ray.pipelines import kg
+from spacy_llm_ray.state.checkpoint import (
+    ConfigMismatchError,
+    read_manifest,
+    run_partitioned_kg,
+)
+
+N_PARTS = 4
+
+
+def _load_triples(out_dir):
+    import glob
+
+    files = glob.glob(os.path.join(out_dir, "triples", "*.parquet"))
+    df = pd.concat([pd.read_parquet(f) for f in files])
+    return set(map(tuple, df[kg.FINAL_COLUMNS].values))
+
+
+@pytest.fixture(scope="module")
+def sf_dir(ray_session):
+    return ensure_dataset("sf0.001")
+
+
+def test_resume_after_crash(sf_dir, tmp_path_factory):
+    out_a = str(tmp_path_factory.mktemp("kg_full"))
+    out_b = str(tmp_path_factory.mktemp("kg_resumed"))
+
+    # Uninterrupted reference run.
+    summary = run_partitioned_kg(sf_dir, out_a, n_partitions=N_PARTS)
+    assert summary["completed"] == list(range(N_PARTS))
+
+    # Crash after 2 partitions.
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_partitioned_kg(sf_dir, out_b, n_partitions=N_PARTS, fail_after_partitions=2)
+    manifest = read_manifest(out_b)
+    assert sorted(manifest) == [0, 1]
+    assert not os.path.exists(os.path.join(out_b, "_SUCCESS"))
+
+    # Resume: only the missing partitions run.
+    summary = run_partitioned_kg(sf_dir, out_b, n_partitions=N_PARTS)
+    assert summary["skipped"] == [0, 1]
+    assert summary["completed"] == [2, 3]
+
+    assert _load_triples(out_a) == _load_triples(out_b)
+
+
+def test_lineage_records(sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_lineage"))
+    run_partitioned_kg(sf_dir, out, n_partitions=N_PARTS)
+    manifest = read_manifest(out)
+    assert sorted(manifest) == list(range(N_PARTS))
+    for rec in manifest.values():
+        assert rec["n_triples"] >= 0
+        assert rec["duration_s"] > 0
+        assert len(rec["config_hash"]) == 16
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        success = json.load(f)
+    assert success["n_partitions"] == N_PARTS
+
+
+def test_config_change_guard(sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_guard"))
+    run_partitioned_kg(sf_dir, out, n_partitions=2)
+    # Changing the task config (labels) must fail fast, not mix stale output
+    # (cache.py:96-122 template-fingerprint analog).
+    models = kg.default_models(context_length=99)  # different context length
+    with pytest.raises(ConfigMismatchError):
+        run_partitioned_kg(sf_dir, out, n_partitions=2, models=models)
+
+
+def test_matches_unpartitioned_pipeline(sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_eq"))
+    run_partitioned_kg(sf_dir, out, n_partitions=3)
+    direct = set(
+        map(tuple, kg.kg_triples_dataset(sf_dir).to_pandas()[kg.FINAL_COLUMNS].values)
+    )
+    assert _load_triples(out) == direct

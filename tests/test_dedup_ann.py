@@ -1,0 +1,114 @@
+"""Dedup family + ANN + text stats."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spacy_llm_ray.stages.dedup import (
+    SimHashStage,
+    minhash_lsh_dedup,
+    minhash_signature,
+    _minhash_params,
+    ngram_jaccard,
+    shingles,
+)
+from spacy_llm_ray.stages.textstats import LangIdStage
+
+
+def test_shingles_and_jaccard():
+    assert shingles("a b c d", 3) == {"a b c", "b c d"}
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c", "x y z") == 0.0
+    assert 0 < ngram_jaccard("a b c d e", "a b c d x") < 1
+
+
+def test_minhash_similarity_tracks_jaccard():
+    a, b, prime = _minhash_params(256)
+    t1 = "the quick brown fox jumps over the lazy dog " * 5
+    t2 = t1.replace("lazy", "sleepy")
+    t3 = "completely different content with other words entirely " * 5
+    s1 = minhash_signature(t1, a, b, prime)
+    s2 = minhash_signature(t2, a, b, prime)
+    s3 = minhash_signature(t3, a, b, prime)
+    est12 = (s1 == s2).mean()
+    est13 = (s1 == s3).mean()
+    # Estimates track true Jaccard (0.5 and 0.0 here).
+    assert abs(est12 - ngram_jaccard(t1, t2)) < 0.15
+    assert est13 < 0.1
+    # Determinism
+    assert (s1 == minhash_signature(t1, a, b, prime)).all()
+
+
+def test_simhash_near_for_near_texts():
+    h1 = SimHashStage.simhash64("the quick brown fox jumps over the lazy dog")
+    h2 = SimHashStage.simhash64("the quick brown fox jumps over the lazy cat")
+    h3 = SimHashStage.simhash64("astronomy telescope galaxy nebula star cluster")
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(h1, h2) < ham(h1, h3)
+    assert SimHashStage.simhash64("") == 0
+
+
+def test_langid_profiles():
+    stage = LangIdStage()
+    assert stage._predict("the cat and the dog went to the house") == "en"
+    assert stage._predict("der Hund und die Katze sind nicht da") == "de"
+    assert stage._predict("le chat et le chien sont avec la table") == "fr"
+    assert stage._predict("el perro y la casa no es con un gato") == "es"
+    assert stage._predict("数据库 系统 非常 好 快速 查询 引擎") == "zh"
+    assert stage._predict("") == "und"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    import ray.data
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs through the green "
+        "forest while birds sing in the tall trees near the quiet river"
+    )
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},  # exact dup
+        {"doc_id": 2, "text": base.replace("quiet", "loud")},  # near dup
+        {"doc_id": 3, "text": "completely different text about databases and queries and storage engines and indexes"},
+        {"doc_id": 4, "text": "yet another unrelated document mentioning spacecraft orbits and planetary geology topics"},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_minhash_lsh_dedup_groups(docs_with_dups):
+    out = minhash_lsh_dedup(docs_with_dups, threshold=0.7).to_pandas()
+    groups = dict(zip(out["doc_id"], out["dup_group"]))
+    assert groups[0] == groups[1] == groups[2] == 0
+    assert groups[3] == 3 and groups[4] == 4
+
+
+def test_brute_force_and_ivf_topk(ray_session):
+    import ray.data
+
+    from spacy_llm_ray.stages.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(200, 16).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(200)]
+    ds = ray.data.from_items(rows)
+    queries = [(0, vecs[0]), (5, vecs[5])]
+
+    bf = brute_force_topk(ds, queries, k=10)
+    assert set(bf.columns) == {"query_id", "vec_id", "rank"}
+    # Self is always rank 1 with cosine 1.0.
+    assert bf[(bf.query_id == 0) & (bf["rank"] == 1)].vec_id.iloc[0] == 0
+    assert bf[(bf.query_id == 5) & (bf["rank"] == 1)].vec_id.iloc[0] == 5
+
+    # Exact numpy reference for recall@10.
+    def topk_ref(q):
+        v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        s = v @ (q / np.linalg.norm(q))
+        return set(np.argsort(-s)[:10].tolist())
+
+    got0 = set(bf[bf.query_id == 0].vec_id)
+    assert got0 == topk_ref(vecs[0])
+
+    ivf = ivf_topk(ds, queries, k=10, n_centroids=8, nprobe=3)
+    rec = len(set(ivf[ivf.query_id == 0].vec_id) & topk_ref(vecs[0])) / 10
+    assert rec >= 0.5  # approximate path: decent recall at nprobe=3/8
