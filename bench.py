@@ -61,9 +61,10 @@ def run_bench() -> dict:
     n_triples = kg.kg_triples_dataset(SF_DIR).count()
     headline = time.monotonic() - t0
 
-    # ---- representative per-operator timings
+    # ---- representative per-operator timings (skipped for headline-only
+    # scaling children, whose GRAFT_SF_DIR has no testdata tables)
     timings = {}
-    for name in (
+    names = () if os.environ.get("BENCH_HEADLINE_ONLY") else (
         "q1_pricing_summary",
         "q3_top_orders",
         "events_sessions",
@@ -71,7 +72,8 @@ def run_bench() -> dict:
         "ann_cosine_topk",
         "task_lemma",
         "kg_doc_assembly",
-    ):
+    )
+    for name in names:
         fn = QUERIES[name][0]
         t0 = time.monotonic()
         res = fn(SF_DIR)
@@ -93,8 +95,11 @@ def run_bench() -> dict:
     }
 
 
-def run_child(ncpu: int) -> dict:
+def run_child(ncpu: int, sf_dir: str = None) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    if sf_dir:
+        env["GRAFT_SF_DIR"] = sf_dir
+        env["BENCH_HEADLINE_ONLY"] = "1"
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
@@ -107,8 +112,23 @@ def run_child(ncpu: int) -> dict:
 
 def main():
     if "--scaling" in sys.argv:
-        lo, hi = 8, 32
-        r_lo, r_hi = run_child(lo), run_child(hi)
+        # N -> 4N scaling on the SAME compute-dominated input (default 1.92M
+        # turns, 32x the sf0.1 table): single-node fixed costs (actor-pool
+        # startup, shuffle-barrier latency, driver-side canonical reduce,
+        # ~10-14 s) are irrelevant at cluster scale but would otherwise mask
+        # the parallel fraction. Levels default to 4 and 16 so the hi level
+        # stays within one memory domain of this box — 8 vs 32 saturates DRAM
+        # bandwidth with 28+ string-processing workers, which multi-node
+        # clusters don't (each node brings its own bandwidth); both pairs are
+        # recorded in BASELINE.md.
+        n_turns = int(os.environ.get("BENCH_SCALING_TURNS", "1920000"))
+        lo, hi = (
+            int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "4,16").split(",")
+        )
+        from spacy_llm_ray.data import ensure_dataset
+
+        scaling_dir = ensure_dataset(n_turns)
+        r_lo, r_hi = run_child(lo, scaling_dir), run_child(hi, scaling_dir)
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         print(
             json.dumps(
@@ -116,10 +136,12 @@ def main():
                     "metric": "kg_pipeline_scaling",
                     "unit": "sec",
                     "sf": r_lo["sf"],
-                    "sec_8": r_lo["value"],
-                    "sec_32": r_hi["value"],
-                    "turns_per_sec_8": r_lo["turns_per_sec"],
-                    "turns_per_sec_32": r_hi["turns_per_sec"],
+                    "cpus_lo": lo,
+                    "cpus_hi": hi,
+                    f"sec_{lo}": r_lo["value"],
+                    f"sec_{hi}": r_hi["value"],
+                    f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+                    f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
                     "scaling_efficiency": round(eff, 3),
                 }
             )

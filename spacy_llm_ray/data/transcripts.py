@@ -311,18 +311,37 @@ def ensure_dataset(
         sf_name, n_turns = f"turns{sf}", sf
     else:
         sf_name = os.path.basename(str(sf).rstrip("/"))
-        if sf_name not in SF_TURNS:
-            raise ValueError(f"unknown scale factor {sf!r}; expected one of {sorted(SF_TURNS)}")
-        n_turns = SF_TURNS[sf_name]
+        if sf_name in SF_TURNS:
+            n_turns = SF_TURNS[sf_name]
+        elif sf_name.startswith("turns") and sf_name[5:].isdigit():
+            n_turns = int(sf_name[5:])
+        else:
+            raise ValueError(
+                f"unknown scale factor {sf!r}; expected one of {sorted(SF_TURNS)} or 'turns<N>'"
+            )
 
     out_dir = os.path.join(base_dir, sf_name)
     marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            if "format=v2" in f.read():
+                return out_dir
+        import shutil
+
+        shutil.rmtree(out_dir)  # stale single-file layout — regenerate
     os.makedirs(out_dir, exist_ok=True)
 
     transcripts = generate_transcripts(n_turns, seed=seed)
-    pq.write_table(transcripts, os.path.join(out_dir, "transcripts.parquet"))
+    # Multiple part files so a distributed reader parallelizes the scan (a
+    # single parquet file is read by one task — a serial bottleneck at scale).
+    tdir = os.path.join(out_dir, "transcripts.parquet")
+    os.makedirs(tdir, exist_ok=True)
+    n_files = max(8, min(64, n_turns // 30000 + 1))
+    rows_per = (transcripts.num_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        part = transcripts.slice(i * rows_per, rows_per)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(tdir, f"part-{i:05d}.parquet"))
     pq.write_table(_gold_triples(transcripts), os.path.join(out_dir, "gold_triples.parquet"))
     ents = pa.table(
         {
@@ -341,5 +360,5 @@ def ensure_dataset(
     )
     pq.write_table(als, os.path.join(out_dir, "kb_aliases.parquet"))
     with open(marker, "w") as f:
-        f.write(f"n_turns={n_turns} seed={seed}\n")
+        f.write(f"n_turns={n_turns} seed={seed} format=v2\n")
     return out_dir

@@ -46,12 +46,14 @@ def default_models(context_length: Optional[int] = DEFAULT_CONTEXT_LENGTH) -> Di
 
 
 def _pool(frac: float = 0.4) -> tuple:
-    """Actor-pool sizing: autoscaling (1, max) bounded by cluster CPUs so
-    three concurrent LLM pools + read/write stages share the node."""
+    """Actor-pool sizing: autoscaling (max/2, max) bounded by cluster CPUs so
+    three concurrent LLM pools + read/write stages share the node; the high
+    floor pre-warms actors instead of ramping from 1 mid-run."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return (1, max(2, int(cpus * frac)))
+    hi = max(2, int(cpus * frac))
+    return (max(1, hi // 2), hi)
 
 
 def transcripts_dataset(sf_dir: str, columns=None):
@@ -66,13 +68,20 @@ def transcripts_dataset(sf_dir: str, columns=None):
     )
 
 
-def documents_dataset(sf_dir: str):
-    return assemble_documents(transcripts_dataset(sf_dir))
+# Cap applied in the extraction pipelines: a conversation longer than this is
+# split into independent chunk documents at turn boundaries (parallelizes the
+# Zipf-head conversation; relation locality bounded to the chunk window, as
+# the context-length shard mapper already bounds it within a document).
+MAX_DOC_TURNS = 512
+
+
+def documents_dataset(sf_dir: str, max_doc_turns=None):
+    return assemble_documents(transcripts_dataset(sf_dir), max_doc_turns=max_doc_turns)
 
 
 def kg_mentions_dataset(sf_dir: str, models: Optional[Dict] = None, batch_size: int = 64):
     models = models or default_models()
-    docs = documents_dataset(sf_dir)
+    docs = documents_dataset(sf_dir, max_doc_turns=MAX_DOC_TURNS)
     return docs.map_batches(
         NerStage,
         fn_constructor_kwargs=dict(labels=LABELS_NER, model=models["ner"]),
@@ -117,18 +126,85 @@ def kg_linked_dataset(
     )
 
 
-def distinct_triples(triples_ds, keys=("conv_id", "subj", "pred", "obj")):
-    """Exact dedup: hash-partition on the key, first row per group
-    (SURVEY.md §2.7)."""
-    return triples_ds.groupby(list(keys)).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+def distinct_triples(triples_ds, keys=("conv_id", "subj", "pred", "obj"),
+                     num_buckets: int = None):
+    """Exact dedup: hash-partition on a key *bucket*, vectorized
+    drop_duplicates per bucket (SURVEY.md §2.7).
+
+    Grouping by a bucket of the key rather than the key itself keeps the
+    group count at O(num_buckets) — the per-group UDF runs one vectorized
+    pandas pass over many keys instead of one Python call per distinct key.
+    Local per-batch dedup first acts as a combiner, shrinking the shuffle.
+    """
+    import zlib
+
+    import pyarrow as pa
+
+    keys = list(keys)
+    nb = num_buckets or _pool()[1] * 8
+
+    def local_dedup(batch: "pa.Table"):
+        df = batch.to_pandas()
+        df = df.drop_duplicates(subset=keys)
+        key = df[keys[0]].astype(str)
+        for k in keys[1:]:
+            key = key + "\x00" + df[k].astype(str)
+        h = key.map(lambda s: zlib.crc32(s.encode()) % nb)
+        df = df.assign(_bucket=h.astype("int32"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pre = triples_ds.map_batches(local_dedup, batch_format="pyarrow")
+    out = pre.groupby("_bucket").map_groups(
+        lambda g: g.drop_duplicates(subset=keys).drop(columns=["_bucket"]),
+        batch_format="pandas",
     )
+    return out
 
 
 FINAL_COLUMNS = [
     "conv_id", "subj", "pred", "obj",
     "subj_qid", "obj_qid", "subj_canon", "obj_canon",
 ]
+
+
+def kg_raw_triples_dataset(
+    sf_dir: str,
+    models: Optional[Dict] = None,
+    kb: Optional[InMemoryKB] = None,
+    batch_size: int = 64,
+    docs=None,
+):
+    """documents -> fused NER+REL+EL+explode actor stage -> raw triples."""
+    import ray
+
+    from ..stages.llm_stage import KGStage
+
+    import ray as _ray
+
+    models = models or default_models()
+    kb_ref = ray.put(kb or tdata.build_kb())
+    if docs is None:
+        docs = documents_dataset(sf_dir, max_doc_turns=MAX_DOC_TURNS)
+    # The fused stage is the only heavy pool in the flagship — let it own
+    # nearly the whole node (read/write stages need a small CPU reserve).
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    hi = max(2, cpus - max(1, cpus // 8))
+    return docs.map_batches(
+        KGStage,
+        fn_constructor_kwargs=dict(
+            ner_kwargs=dict(labels=LABELS_NER, model=models["ner"]),
+            rel_kwargs=dict(labels=LABELS_REL, model=models["rel"]),
+            el_kwargs=dict(kb=kb_ref, model=models["el"]),
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        # Fixed-size pool: autoscaling ramps too slowly to saturate the node
+        # within a stage's lifetime; extraction is the dominant phase, so all
+        # actors start up front.
+        concurrency=hi,
+        num_cpus=1,
+    )
 
 
 def kg_triples_dataset(
@@ -145,8 +221,14 @@ def kg_triples_dataset(
     phases run over the partition parquet files instead — see state/checkpoint).
     """
     kb = kb or tdata.build_kb()
-    linked = kg_linked_dataset(sf_dir, models, kb, batch_size)
-    raw_triples = linked.map_batches(explode_triples, batch_format="pyarrow").materialize()
-    mapping = build_canonical_mapping(raw_triples, kb)
-    canon = canonicalize_triples(raw_triples, kb, mapping=mapping)
-    return distinct_triples(canon).select_columns(FINAL_COLUMNS)
+    # Materialized barrier after the extraction pool: the dedup shuffle then
+    # gets the whole node instead of competing with the actor pool.
+    raw_triples = kg_raw_triples_dataset(sf_dir, models, kb, batch_size).materialize()
+    # Dedup BEFORE canonicalization: the canonical columns are a pure function
+    # of (surface, qid), and EL assigns qids deterministically per surface, so
+    # distinct-first shrinks every later pass. The distinct set is materialized
+    # once; the mapping pass and the apply pass both read it.
+    dedup = distinct_triples(raw_triples).materialize()
+    mapping = build_canonical_mapping(dedup, kb)
+    canon = canonicalize_triples(dedup, kb, mapping=mapping)
+    return canon.select_columns(FINAL_COLUMNS)

@@ -80,7 +80,7 @@ _CANON_VALUES = _values(
     sorted((s, q, c) for s, (q, c) in tdata.canonical_map().items())
 )
 
-_TRANSCRIPTS_SQL = f"read_parquet('{_transcripts_sql_path()}')"
+_TRANSCRIPTS_SQL = f"read_parquet('{_transcripts_sql_path()}/*.parquet')"
 
 _TRIPLES_CTE = f"""
 WITH t AS (SELECT conv_id, text FROM {_TRANSCRIPTS_SQL}),

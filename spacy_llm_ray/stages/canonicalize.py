@@ -33,19 +33,20 @@ from ..tasks.entity_linker import NIL
 
 
 def _extract_pairs(batch: pa.Table) -> pa.Table:
-    pairs = set()
-    for side in ("subj", "obj"):
-        for surface, qid in zip(
-            batch[side].to_pylist(), batch[f"{side}_qid"].to_pylist()
-        ):
-            pairs.add((surface, qid or NIL))
-    pairs = sorted(pairs)
-    return pa.table(
-        {
-            "surface": [p[0] for p in pairs],
-            "qid": [p[1] for p in pairs],
-        }
-    )
+    """Per-batch-deduped (surface, qid) pairs — vectorized combiner."""
+    import pandas as pd
+
+    frames = [
+        pd.DataFrame(
+            {
+                "surface": batch[side].to_pandas(),
+                "qid": batch[f"{side}_qid"].to_pandas().fillna(NIL).replace("", NIL),
+            }
+        )
+        for side in ("subj", "obj")
+    ]
+    pairs = pd.concat(frames).drop_duplicates().sort_values(["surface", "qid"])
+    return pa.Table.from_pandas(pairs, preserve_index=False)
 
 
 class _UnionFind:
@@ -135,11 +136,24 @@ class _ApplyCanonical:
         self._mapping: Dict[str, Tuple[str, str]] = mapping_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        id_map = getattr(self, "_id_map", None)
+        if id_map is None:
+            self._id_map = {s: c[0] for s, c in self._mapping.items()}
+            self._name_map = {s: c[1] for s, c in self._mapping.items()}
+            id_map = self._id_map
         for side in ("subj", "obj"):
-            surfaces = batch[side].to_pylist()
-            canon = [self._mapping.get(s, ("S:" + lowercase_normalizer(s), s)) for s in surfaces]
-            batch = batch.append_column(f"{side}_canon_id", pa.array([c[0] for c in canon]))
-            batch = batch.append_column(f"{side}_canon", pa.array([c[1] for c in canon]))
+            surfaces = batch[side].to_pandas()
+            ids = surfaces.map(id_map)
+            names = surfaces.map(self._name_map)
+            missing = ids.isna()
+            if missing.any():
+                fallback = surfaces[missing]
+                ids.loc[missing] = fallback.map(lambda s: "S:" + lowercase_normalizer(s))
+                names.loc[missing] = fallback
+            batch = batch.append_column(f"{side}_canon_id", pa.array(ids.tolist()))
+            batch = batch.append_column(f"{side}_canon", pa.array(names.tolist()))
         return batch
 
 
@@ -159,5 +173,5 @@ def canonicalize_triples(triples_ds, kb: InMemoryKB, mapping=None):
         _ApplyCanonical,
         fn_constructor_kwargs={"mapping_ref": ref},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=(2, 8),
     )

@@ -117,12 +117,21 @@ def explode_bands(batch: pa.Table, bands: int = 32, id_col: str = "doc_id") -> p
 
 
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(group["doc_id"].tolist())
-    if len(ids) < 2:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64")})
-    pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-    return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+    """One hash *partition* of band rows: emit candidate pairs per
+    (band_id, band_hash) bucket via a vectorized pandas groupby (grouping by
+    partition, not by bucket, keeps Ray's group count small)."""
+    out_a: List = []
+    out_b: List = []
+    for _, sub in group.groupby(["band_id", "band_hash"], sort=False):
+        if len(sub) < 2:
+            continue
+        ids = sorted(sub["doc_id"].tolist())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+    return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                         "b": pd.Series(out_b, dtype="int64")})
 
 
 def minhash_lsh_dedup(
@@ -152,9 +161,18 @@ def minhash_lsh_dedup(
     band_rows = sigs.map_batches(
         lambda b: explode_bands(b, bands=bands, id_col=id_col), batch_format="pyarrow"
     )
-    pairs_ds = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
+    n_parts = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = [
+            (int(bi) * 0x9E3779B1 ^ int(bh)) % n_parts
+            for bi, bh in zip(batch["band_id"].to_pylist(), batch["band_hash"].to_pylist())
+        ]
+        return batch.append_column("part", pa.array(part, type=pa.int32()))
+
+    pairs_ds = band_rows.map_batches(add_part, batch_format="pyarrow").groupby(
+        "part"
+    ).map_groups(_bucket_pairs, batch_format="pandas")
     cand_pairs = set()
     for b in pairs_ds.iter_batches(batch_format="pandas"):
         cand_pairs.update(zip(b["a"].tolist(), b["b"].tolist()))

@@ -89,13 +89,26 @@ class _ShardingMixin:
 
     def _map_and_call(self, items: List[tuple], render: Callable):
         """items: list of (text, tokens). render(shard_text, i, n) -> prompt.
-        Returns list of (shards, responses) aligned with items."""
+        Returns list of (shards, responses) aligned with items.
+
+        Renders are memoized per doc so the shard-fit probe and the final
+        prompt build share one render for the common single-shard case."""
         all_shards: List[List[Shard]] = []
         prompts: List[str] = []
         for text, tokens in items:
-            shards = self._shard_mapper(text, tokens, self._context_length, render)
+            cache: dict = {}
+
+            def crender(st, i, n, _cache=cache):
+                key = (st, i, n)
+                v = _cache.get(key)
+                if v is None:
+                    v = render(st, i, n)
+                    _cache[key] = v
+                return v
+
+            shards = self._shard_mapper(text, tokens, self._context_length, crender)
             all_shards.append(shards)
-            prompts.extend(render(s.text, s.i_shard, s.n_shards) for s in shards)
+            prompts.extend(crender(s.text, s.i_shard, s.n_shards) for s in shards)
         responses = self._model(prompts)
         out = []
         ri = 0
@@ -385,6 +398,34 @@ class ElStage(_ShardingMixin):
     def _render_shard(self, shard_text: str, mentions, i_shard: int, n_shards: int) -> str:
         # Used only for shard sizing: render with empty mention block.
         return el_v1_prompt(shard_text, [], [], [], i_shard=i_shard, n_shards=n_shards)
+
+
+class KGStage:
+    """Fused NER -> REL -> EL (-> triple explode) stage: one actor pool, one
+    batch pass.
+
+    The three logical stages stay available as separate classes (NerStage /
+    RelStage / ElStage) for stage-level pipelines; the flagship fuses them —
+    a conversation's mentions never leave the actor between extraction steps,
+    eliminating two actor pools and two object-store exchanges per batch.
+    """
+
+    def __init__(self, ner_kwargs: Dict, rel_kwargs: Dict, el_kwargs: Dict,
+                 explode: bool = True):
+        self._ner = NerStage(**ner_kwargs)
+        self._rel = RelStage(**rel_kwargs)
+        self._el = ElStage(**el_kwargs)
+        self._explode = explode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = self._ner(batch)
+        batch = self._rel(batch)
+        batch = self._el(batch)
+        if self._explode:
+            from .triples import explode_triples
+
+            return explode_triples(batch)
+        return batch
 
 
 class LLMTaskStage(_ShardingMixin):

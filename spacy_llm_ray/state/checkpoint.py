@@ -93,8 +93,7 @@ def run_partitioned_kg(
     from ..data import transcripts as tdata
     from ..pipelines import kg
     from ..stages.canonicalize import build_canonical_mapping, canonicalize_triples
-    from ..stages.llm_stage import ElStage, NerStage, RelStage
-    from ..stages.triples import explode_triples
+    from ..stages.llm_stage import KGStage
     from ..stages.assemble import assemble_documents
 
     models = models or kg.default_models()
@@ -145,28 +144,17 @@ def run_partitioned_kg(
             f"{data_dir}/transcripts.parquet",
             columns=["conv_id", "turn_idx", "role", "text"],
         ).map_batches(_make_partition_filter(part, n_partitions), batch_format="pyarrow")
-        docs = assemble_documents(ds)
-        linked = (
-            docs.map_batches(
-                NerStage,
-                fn_constructor_kwargs=dict(labels=kg.LABELS_NER, model=models["ner"]),
-                batch_format="pyarrow", batch_size=batch_size,
-                concurrency=pool, num_cpus=1,
-            )
-            .map_batches(
-                RelStage,
-                fn_constructor_kwargs=dict(labels=kg.LABELS_REL, model=models["rel"]),
-                batch_format="pyarrow", batch_size=batch_size,
-                concurrency=pool, num_cpus=1,
-            )
-            .map_batches(
-                ElStage,
-                fn_constructor_kwargs=dict(kb=kb_ref, model=models["el"]),
-                batch_format="pyarrow", batch_size=batch_size,
-                concurrency=pool, num_cpus=1,
-            )
+        docs = assemble_documents(ds, max_doc_turns=kg.MAX_DOC_TURNS)
+        triples = docs.map_batches(
+            KGStage,
+            fn_constructor_kwargs=dict(
+                ner_kwargs=dict(labels=kg.LABELS_NER, model=models["ner"]),
+                rel_kwargs=dict(labels=kg.LABELS_REL, model=models["rel"]),
+                el_kwargs=dict(kb=kb_ref, model=models["el"]),
+            ),
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=pool, num_cpus=1,
         )
-        triples = linked.map_batches(explode_triples, batch_format="pyarrow")
 
         tmp = os.path.join(raw_dir, f".tmp-{part}-{uuid.uuid4().hex[:8]}")
         final = os.path.join(raw_dir, f"part={part}")
@@ -206,9 +194,10 @@ def run_partitioned_kg(
         if f.endswith(".parquet")
     ]
     raw = ray.data.read_parquet(raw_files)
-    mapping = build_canonical_mapping(raw, kb)
-    canon = canonicalize_triples(raw, kb, mapping=mapping)
-    final_ds = kg.distinct_triples(canon).select_columns(kg.FINAL_COLUMNS)
+    dedup = kg.distinct_triples(raw).materialize()
+    mapping = build_canonical_mapping(dedup, kb)
+    canon = canonicalize_triples(dedup, kb, mapping=mapping)
+    final_ds = canon.select_columns(kg.FINAL_COLUMNS)
     triples_dir = os.path.join(out_dir, "triples")
     tmp = os.path.join(out_dir, f".tmp-triples-{uuid.uuid4().hex[:8]}")
     final_ds.write_parquet(tmp)

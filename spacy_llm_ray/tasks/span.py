@@ -20,7 +20,7 @@ from typing import Callable, Dict, Iterable, List, Optional, Tuple
 
 from ..normalizers import build_label_dict, lowercase_normalizer
 from ..parsing import find_substrings
-from ..tokenizer import Span, Token, make_span
+from ..tokenizer import Span, Token, Tokenization, make_span
 
 
 @dataclass
@@ -92,6 +92,7 @@ def parse_span_response(
     cfg: SpanTaskConfig, text: str, tokens: List[Token], response: str
 ) -> List[Span]:
     """NER/SpanCat v1/v2 parser: ground each phrase at every occurrence."""
+    tokens = tokens if isinstance(tokens, Tokenization) else Tokenization(list(tokens))
     spans: List[Span] = []
     for label, phrases in _format_response(response, cfg.normalizer, cfg.label_dict):
         offsets = find_substrings(
@@ -134,24 +135,26 @@ def parse_span_response_cot(
     to the previous one retries the same reason further into the text.
     Result is ``sorted(set(spans))``.
     """
+    tokens = tokens if isinstance(tokens, Tokenization) else Tokenization(list(tokens))
     span_reasons = _extract_span_reasons(cfg, response)
+    # Case folding is done ONCE per document; per-reason searches then run on
+    # the folded text directly. Semantically identical to calling
+    # find_substrings(single_match=True) per reason (str.lower() is
+    # length-preserving here), but avoids re-folding the whole text for every
+    # mention — the dominant allocation cost on mention-dense documents.
+    search_text = text if cfg.case_sensitive_matching else text.lower()
     find_after = 0
     spans: List[Span] = []
     prev_span: Optional[Span] = None
     idx = 0
     while idx < len(span_reasons):
         sr = span_reasons[idx]
-        offsets = find_substrings(
-            text,
-            [sr.text],
-            case_sensitive=cfg.case_sensitive_matching,
-            single_match=True,
-            find_after=find_after,
-        )
-        if not offsets:
+        sub = sr.text if cfg.case_sensitive_matching else sr.text.lower()
+        start = search_text.find(sub, find_after) if sub else -1
+        if start == -1:
             idx += 1
             continue
-        start, end = offsets[0]
+        end = start + len(sub)
         span = make_span(text, tokens, start, end, sr.label, cfg.alignment_mode)
         if span is None:
             idx += 1

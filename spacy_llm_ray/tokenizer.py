@@ -20,42 +20,47 @@ check, result re-sorted by start.
 from __future__ import annotations
 
 import re
+from bisect import bisect_left, bisect_right
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple, Union
 
 # One word (incl. digits/underscore) or one single non-space symbol per token.
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
 
 
-@dataclass(frozen=True)
-class Token:
+class Token(NamedTuple):
+    # NamedTuple (C-speed construction): tokenization creates tens of
+    # millions of these per run — a frozen dataclass here was a measurable
+    # allocation hotspot in the extraction actors.
     text: str
     start: int  # char offset, inclusive
     end: int    # char offset, exclusive
     i: int      # token index
 
 
-@dataclass(frozen=True, order=True)
-class Span:
+class Span(NamedTuple):
     """A labeled token span over a tokenized text.
 
-    Ordering/equality key is (start_tok, end_tok, label, kb_id) which mirrors
-    spaCy Span rich comparison as relied on by the reference's
+    Ordering/equality key is led by (start_tok, end_tok, label, kb_id), which
+    mirrors spaCy Span rich comparison as relied on by the reference's
     ``sorted(set(spans))`` dedup (/root/reference/spacy_llm/tasks/span/parser.py:156).
+    The payload fields (start_char/end_char/text) participate only as
+    tie-breakers — they are a deterministic function of the key fields over a
+    given text, so ordering/equality semantics are unchanged while keeping
+    C-speed NamedTuple construction (spans are built millions of times per
+    block in the extraction actors).
     """
 
     start_tok: int
     end_tok: int  # exclusive
     label: str
     kb_id: str = ""
-    # Non-comparing payload fields:
-    start_char: int = field(default=-1, compare=False)
-    end_char: int = field(default=-1, compare=False)
-    text: str = field(default="", compare=False)
+    start_char: int = -1
+    end_char: int = -1
+    text: str = ""
 
     def with_kb_id(self, kb_id: str) -> "Span":
-        return Span(self.start_tok, self.end_tok, self.label, kb_id,
-                    self.start_char, self.end_char, self.text)
+        return self._replace(kb_id=kb_id)
 
 
 def tokenize(text: str) -> List[Token]:
@@ -63,8 +68,37 @@ def tokenize(text: str) -> List[Token]:
             for i, m in enumerate(_TOKEN_RE.finditer(text))]
 
 
+class Tokenization:
+    """Tokens plus sorted offset arrays for O(log n) char_span lookups.
+
+    Tokens are non-overlapping and ordered, so both start and end offsets are
+    strictly increasing — alignment snaps reduce to bisects. Accepted anywhere
+    a token list is; parsers build one per document/shard.
+    """
+
+    __slots__ = ("tokens", "starts", "ends")
+
+    def __init__(self, tokens: List[Token]):
+        self.tokens = tokens
+        self.starts = [t.start for t in tokens]
+        self.ends = [t.end for t in tokens]
+
+    def __len__(self):
+        return len(self.tokens)
+
+    def __getitem__(self, i):
+        return self.tokens[i]
+
+    def __iter__(self):
+        return iter(self.tokens)
+
+
+def _as_tokenization(tokens: Union[Tokenization, Sequence[Token]]) -> Tokenization:
+    return tokens if isinstance(tokens, Tokenization) else Tokenization(list(tokens))
+
+
 def char_span(
-    tokens: List[Token],
+    tokens: Union[Tokenization, List[Token]],
     start: int,
     end: int,
     alignment_mode: str = "strict",
@@ -77,34 +111,39 @@ def char_span(
         return None
     if alignment_mode not in ("strict", "contract", "expand"):
         raise ValueError(f"unknown alignment_mode: {alignment_mode}")
+    tk = _as_tokenization(tokens)
+    starts, ends = tk.starts, tk.ends
+    n = len(starts)
+    if n == 0:
+        return None
 
     if alignment_mode == "strict":
-        first = last = None
-        for t in tokens:
-            if t.start == start:
-                first = t.i
-            if t.end == end:
-                last = t.i
-        if first is None or last is None or last < first:
+        i = bisect_left(starts, start)
+        j = bisect_left(ends, end)
+        if i >= n or starts[i] != start or j >= n or ends[j] != end or j < i:
             return None
-        return (first, last + 1)
+        return (i, j + 1)
 
     if alignment_mode == "contract":
-        inside = [t.i for t in tokens if t.start >= start and t.end <= end]
-        if not inside:
+        # tokens fully inside [start, end): first with t.start >= start,
+        # last with t.end <= end (both arrays increasing).
+        i = bisect_left(starts, start)
+        j = bisect_right(ends, end) - 1
+        if j < i:
             return None
-        return (inside[0], inside[-1] + 1)
+        return (i, j + 1)
 
-    # expand
-    overlapping = [t.i for t in tokens if t.end > start and t.start < end]
-    if not overlapping:
+    # expand: tokens partially covered: t.end > start and t.start < end.
+    i = bisect_right(ends, start)
+    j = bisect_left(starts, end) - 1
+    if j < i or i >= n:
         return None
-    return (overlapping[0], overlapping[-1] + 1)
+    return (i, j + 1)
 
 
 def make_span(
     text: str,
-    tokens: List[Token],
+    tokens: Union[Tokenization, List[Token]],
     start_char: int,
     end_char: int,
     label: str,
