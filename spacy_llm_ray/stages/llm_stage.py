@@ -48,7 +48,7 @@ from ..tasks.span import (
 )
 from ..templates import el_v1_prompt, ner_v3_prompt
 from ..tokenizer import Span, filter_spans, tokenize
-from .schemas import MENTION_TYPE, REL_TYPE
+from .schemas import LLM_IO_TYPE, MENTION_TYPE, REL_TYPE
 
 
 def _maybe_get(obj):
@@ -114,9 +114,22 @@ class _ShardingMixin:
         ri = 0
         for shards in all_shards:
             rs = responses[ri : ri + len(shards)]
+            ps = prompts[ri : ri + len(shards)]
             ri += len(shards)
-            out.append((shards, rs))
+            out.append((shards, rs, ps))
         return out
+
+    def _maybe_save_io(self, batch: pa.Table, results) -> pa.Table:
+        """Append an ``llm_io`` struct column (prompt/response lists per doc)
+        when save_io is enabled — the analog of the reference's
+        ``Doc.user_data['llm_io']`` capture (pipeline/llm.py:296-314)."""
+        if not getattr(self, "_save_io", False):
+            return batch
+        col = [
+            {"prompt": list(prompts), "response": list(responses)}
+            for _shards, responses, prompts in results
+        ]
+        return batch.append_column("llm_io", pa.array(col, type=LLM_IO_TYPE))
 
 
 class NerStage(_ShardingMixin):
@@ -145,6 +158,7 @@ class NerStage(_ShardingMixin):
         text_col: str = "text",
         out_col: str = "mentions",
         prompt_builder: Callable = ner_v3_prompt,
+        save_io: bool = False,
     ):
         self._model = _maybe_get(model)
         self._cfg = SpanTaskConfig(
@@ -163,6 +177,7 @@ class NerStage(_ShardingMixin):
         self._text_col = text_col
         self._out_col = out_col
         self._prompt_builder = prompt_builder
+        self._save_io = save_io
         self._shard_mapper = make_shard_mapper()
         self._context_length = getattr(self._model, "context_length", None)
 
@@ -184,7 +199,7 @@ class NerStage(_ShardingMixin):
 
         parse = parse_span_response_cot if self._cot else parse_span_response
         mentions_col = []
-        for (text, tokens), (shards, responses) in zip(items, results):
+        for (text, tokens), (shards, responses, _prompts) in zip(items, results):
             spans: List[Span] = []
             for shard, response in zip(shards, responses):
                 sh_tokens = (
@@ -213,9 +228,10 @@ class NerStage(_ShardingMixin):
                 spans = sorted(set(spans))
             mentions_col.append([_mention_dict(s) for s in spans])
 
-        return batch.append_column(
+        batch = batch.append_column(
             self._out_col, pa.array(mentions_col, type=pa.list_(MENTION_TYPE))
         )
+        return self._maybe_save_io(batch, results)
 
 
 class RelStage(_ShardingMixin):
@@ -240,6 +256,7 @@ class RelStage(_ShardingMixin):
         text_col: str = "text",
         mentions_col: str = "mentions",
         out_col: str = "rel",
+        save_io: bool = False,
     ):
         from ..templates import rel_v1_prompt
 
@@ -250,6 +267,7 @@ class RelStage(_ShardingMixin):
         self._text_col = text_col
         self._mentions_col = mentions_col
         self._out_col = out_col
+        self._save_io = save_io
         self._prompt_builder = rel_v1_prompt
         self._shard_mapper = make_shard_mapper()
         self._context_length = getattr(self._model, "context_length", None)
@@ -275,7 +293,7 @@ class RelStage(_ShardingMixin):
         results = self._map_and_call(items, self._render)
 
         rel_col = []
-        for (pre, _), (shards, responses) in zip(items, results):
+        for (pre, _), (shards, responses, _prompts) in zip(items, results):
             rels = []
             for shard, response in zip(shards, responses):
                 valid_ids = {int(m) for m in ENT_MARKER_RE.findall(shard.text)}
@@ -285,9 +303,10 @@ class RelStage(_ShardingMixin):
                     )
             rel_col.append(rels)
 
-        return batch.append_column(
+        batch = batch.append_column(
             self._out_col, pa.array(rel_col, type=pa.list_(REL_TYPE))
         )
+        return self._maybe_save_io(batch, results)
 
 
 class ElStage(_ShardingMixin):
@@ -311,6 +330,7 @@ class ElStage(_ShardingMixin):
         examples: Optional[Sequence] = None,
         text_col: str = "text",
         mentions_col: str = "mentions",
+        save_io: bool = False,
     ):
         self._kb: InMemoryKB = _maybe_get(kb)
         self._model = _maybe_get(model)
@@ -318,6 +338,7 @@ class ElStage(_ShardingMixin):
         self._examples = list(examples) if examples else None
         self._text_col = text_col
         self._mentions_col = mentions_col
+        self._save_io = save_io
         self._shard_mapper = make_shard_mapper()
         self._context_length = getattr(self._model, "context_length", None)
 
@@ -377,11 +398,16 @@ class ElStage(_ShardingMixin):
 
         responses = self._model(all_prompts)
 
-        for (di, midx, local, has_cands), response in zip(plan, responses):
+        io_col = [{"prompt": [], "response": []} for _ in texts]
+        for (di, midx, local, has_cands), response, prompt in zip(
+            plan, responses, all_prompts
+        ):
             solutions = parse_el_solutions(response)
             resolved = resolve_el_response(local, has_cands, solutions)
             for i, span in zip(midx, resolved):
                 out_col[di][i]["kb_id"] = span.kb_id
+            io_col[di]["prompt"].append(prompt)
+            io_col[di]["response"].append(response)
         # Mentions never covered by a shard (straddlers) -> NIL.
         for ms in out_col:
             for m in ms:
@@ -389,11 +415,14 @@ class ElStage(_ShardingMixin):
                     m["kb_id"] = NIL
 
         idx = batch.schema.get_field_index(self._mentions_col)
-        return batch.set_column(
+        batch = batch.set_column(
             idx,
             self._mentions_col,
             pa.array(out_col, type=pa.list_(MENTION_TYPE)),
         )
+        if self._save_io:
+            batch = batch.append_column("llm_io", pa.array(io_col, type=LLM_IO_TYPE))
+        return batch
 
     def _render_shard(self, shard_text: str, mentions, i_shard: int, n_shards: int) -> str:
         # Used only for shard sizing: render with empty mention block.
@@ -452,6 +481,7 @@ class LLMTaskStage(_ShardingMixin):
         out_type: pa.DataType = pa.string(),
         reduce: str = "join",
         text_col: str = "text",
+        save_io: bool = False,
     ):
         assert reduce in self._REDUCERS, reduce
         self._model = _maybe_get(model)
@@ -461,6 +491,7 @@ class LLMTaskStage(_ShardingMixin):
         self._out_type = out_type
         self._reduce = reduce
         self._text_col = text_col
+        self._save_io = save_io
         self._shard_mapper = make_shard_mapper()
         self._context_length = getattr(self._model, "context_length", None)
 
@@ -493,8 +524,9 @@ class LLMTaskStage(_ShardingMixin):
         items = [(t, tokenize(t)) for t in texts]
         results = self._map_and_call(items, self._render)
         col = []
-        for (text, tokens), (shards, responses) in zip(items, results):
+        for (text, tokens), (shards, responses, _prompts) in zip(items, results):
             vals = [self._parse_fn(r) for r in responses]
             weights = [s.tok_end - s.tok_start for s in shards]
             col.append(self._combine(vals, weights))
-        return batch.append_column(self._out_col, pa.array(col, type=self._out_type))
+        batch = batch.append_column(self._out_col, pa.array(col, type=self._out_type))
+        return self._maybe_save_io(batch, results)

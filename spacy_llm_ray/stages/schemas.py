@@ -27,6 +27,14 @@ REL_TYPE = pa.struct(
     ]
 )
 
+# save_io capture (reference: Doc.user_data["llm_io"], pipeline/llm.py:296-314)
+LLM_IO_TYPE = pa.struct(
+    [
+        ("prompt", pa.list_(pa.string())),
+        ("response", pa.list_(pa.string())),
+    ]
+)
+
 TRIPLE_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),
