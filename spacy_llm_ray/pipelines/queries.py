@@ -306,10 +306,13 @@ def q_q3_top_orders(sf_dir: str):
         batch_format="pyarrow",
     )
 
+    import ray as _ray
+
+    n_parts = max(8, int(_ray.cluster_resources().get("CPU", 8)) // 2)
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=n_parts,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

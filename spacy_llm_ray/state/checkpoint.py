@@ -144,6 +144,7 @@ def run_partitioned_kg(
             f"{data_dir}/transcripts.parquet",
             columns=["conv_id", "turn_idx", "role", "text"],
         ).map_batches(_make_partition_filter(part, n_partitions), batch_format="pyarrow")
+        n_turns = ds.count()  # cheap column scan; recorded in lineage
         docs = assemble_documents(ds, max_doc_turns=kg.MAX_DOC_TURNS)
         triples = docs.map_batches(
             KGStage,
@@ -171,6 +172,7 @@ def run_partitioned_kg(
         rec = {
             "partition": part,
             "config_hash": cfg_hash,
+            "n_turns": int(n_turns),
             "n_triples": int(n_triples),
             "duration_s": round(time.monotonic() - t0, 3),
         }

@@ -95,8 +95,26 @@ def rel_v1_prompt(
     if examples:
         parts.append("Examples:")
         for ex in examples:
-            parts.append(fence(ex["text"]))
-            parts.extend(ex["answers"])
+            # RELExample: preannotate its text from its ents; answers are the
+            # relation JSON lines (rel.v1.jinja example block shape).
+            if hasattr(ex, "ents"):
+                from .tasks.rel import preannotate
+                from .tokenizer import Span
+
+                spans = [
+                    Span(0, 0, e.label, "", e.start_char, e.end_char,
+                         ex.text[e.start_char:e.end_char])
+                    for e in ex.ents
+                ]
+                parts.append(fence(preannotate(ex.text, spans)))
+                parts.extend(
+                    '{"dep": %d, "dest": %d, "relation": "%s"}'
+                    % (r["dep"], r["dest"], r["relation"])
+                    for r in ex.relations
+                )
+            else:
+                parts.append(fence(ex["text"]))
+                parts.extend(ex.get("answers", []))
     if n_shards > 1:
         parts.append(f"(Shard {i_shard + 1} of {n_shards}.)")
     parts.append("Text:")
@@ -124,6 +142,24 @@ def el_v1_prompt(
         "For each highlighted mention, answer with one line:",
         "*<mention>* ::: <<entity id>> — choose from the listed candidates or NIL.",
     ]
+    if examples:
+        parts.append("Examples:")
+        for ex in examples:
+            # ELExample (entity_linker.v1.jinja example block shape).
+            parts.append(fence(ex.text))
+            parts.append(f"Mentions: {ex.mentions_str}")
+            for mention, ids, descs in zip(
+                ex.mentions, ex.entity_ids, ex.entity_descriptions
+            ):
+                cands = "; ".join(f"{i} ({d})" for i, d in zip(ids, descs))
+                # Indented so the current-doc candidate block (line-anchored
+                # "- *m*:") remains unambiguous to response generators.
+                parts.append(f"  - *{mention}*: candidates: {cands}")
+            parts.append("SOLUTION:")
+            parts.extend(
+                f"*{m}* ::: <{sol}>" for m, sol in zip(ex.mentions, ex.solutions)
+            )
+        parts.append("End of examples.")
     if n_shards > 1:
         parts.append(f"(Shard {i_shard + 1} of {n_shards}.)")
     parts.append("Text:")
