@@ -482,6 +482,105 @@ FROM d GROUP BY user_id
 """
 
 
+def q_events_last_order_asof(sf_dir: str):
+    """As-of join: for each event, the user's most recent order at or before
+    the event time (ray_guide as-of shape: bucket by key, sort within bucket,
+    ``pd.merge_asof`` per group). Both sides shuffle once on the key bucket.
+
+    Orders are first deduped to one row per (customer, date) — max orderkey —
+    so the as-of pick is deterministic on ties (mirrored in the SQL oracle).
+    """
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    # Small side at these scales: collect + broadcast the per-customer order
+    # log; at parity of big-big, both sides would take the same bucket
+    # groupby and merge inside map_groups.
+    odf = orders.to_pandas()
+    odf = (
+        odf.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"]
+        .max()
+        .sort_values(["o_custkey", "o_orderdate"])
+    )
+    import ray
+
+    ref = ray.put(odf)
+
+    def asof_group(group: pd.DataFrame) -> pd.DataFrame:
+        odf_local = ray.get(ref)
+        uid = group["user_id"].iloc[0]
+        right = odf_local[odf_local["o_custkey"] == uid]
+        left = group.sort_values("ts")
+        merged = pd.merge_asof(
+            left, right, left_on="ts", right_on="o_orderdate", direction="backward"
+        )
+        out = merged[["event_id", "o_orderkey"]].copy()
+        out["o_orderkey"] = out["o_orderkey"].astype("Int64")
+        return out
+
+    return ev.groupby("user_id").map_groups(asof_group, batch_format="pandas")
+
+
+SQL_EVENTS_LAST_ORDER_ASOF = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, o.o_orderkey
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+"""
+
+
+def q_orders_running_total(sf_dir: str):
+    """Per-customer running revenue (window function shape): groupby +
+    in-group sorted cumulative sum."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def running(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["o_orderdate", "o_orderkey"])
+        g["running_total"] = g["o_totalprice"].cumsum().round(2)
+        return g[["o_orderkey", "o_custkey", "running_total"]]
+
+    return orders.groupby("o_custkey").map_groups(running, batch_format="pandas")
+
+
+SQL_ORDERS_RUNNING_TOTAL = """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey), 2)
+         AS running_total
+FROM orders
+"""
+
+
+def q_top_orders_per_customer(sf_dir: str, k: int = 3):
+    """Top-k per group (row_number window shape)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = range(1, len(g) + 1)
+        return g[["o_custkey", "o_orderkey", "rank"]]
+
+    out = orders.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+    df = out.to_pandas()
+    df["rank"] = df["rank"].astype("int64")
+    return df
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Documents: text analysis + dedup + fingerprints
 
@@ -817,6 +916,9 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "events_last_order_asof": (q_events_last_order_asof, SQL_EVENTS_LAST_ORDER_ASOF),
+    "orders_running_total": (q_orders_running_total, SQL_ORDERS_RUNNING_TOTAL),
+    "top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER),
     # documents: text analysis / dedup
     "docs_token_count": (q_docs_token_count, SQL_DOCS_TOKEN_COUNT),
     "docs_quality": (q_docs_quality, SQL_DOCS_QUALITY),
