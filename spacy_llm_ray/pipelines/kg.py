@@ -212,6 +212,7 @@ def kg_triples_dataset(
     models: Optional[Dict] = None,
     kb: Optional[InMemoryKB] = None,
     batch_size: int = 64,
+    phase_barriers: bool = True,
 ):
     """Full pipeline -> distinct canonical triples Dataset.
 
@@ -219,11 +220,22 @@ def kg_triples_dataset(
     pairs, so the raw triple stage is materialized first (triples are ~10^-2
     the input volume; for the checkpointed multi-partition job the same two
     phases run over the partition parquet files instead — see state/checkpoint).
+
+    ``phase_barriers`` materializes the assembled documents before the
+    extraction pool: on a single node the fused pool owns nearly every CPU,
+    so streaming assembly into it starves the shuffle and serializes poorly —
+    phase isolation is faster. On a large multi-node cluster with the
+    checkpointed runner, partitions stream instead.
     """
     kb = kb or tdata.build_kb()
+    docs = documents_dataset(sf_dir, max_doc_turns=MAX_DOC_TURNS)
+    if phase_barriers:
+        docs = docs.materialize()
     # Materialized barrier after the extraction pool: the dedup shuffle then
     # gets the whole node instead of competing with the actor pool.
-    raw_triples = kg_raw_triples_dataset(sf_dir, models, kb, batch_size).materialize()
+    raw_triples = kg_raw_triples_dataset(
+        sf_dir, models, kb, batch_size, docs=docs
+    ).materialize()
     # Dedup BEFORE canonicalization: the canonical columns are a pure function
     # of (surface, qid), and EL assigns qids deterministically per surface, so
     # distinct-first shrinks every later pass. The distinct set is materialized
