@@ -26,26 +26,38 @@ GAZETTEER_MODEL_KIND = "gazetteer"
 
 class MockNERModel:
     """Emits one CoT line per gazetteer hit, in text order (leftmost-longest,
-    non-overlapping) — the response format of spacy.NER.v3."""
+    non-overlapping) — the response format of spacy.NER.v3. With
+    ``fmt="v1"`` it instead answers in the v1/v2 line format
+    ``"<LABEL>: phrase1, phrase2"`` (one line per label, unique phrases)."""
 
-    def __init__(self, gazetteer: Dict[str, str], context_length: Optional[int] = None):
+    def __init__(self, gazetteer: Dict[str, str], context_length: Optional[int] = None,
+                 fmt: str = "cot"):
         # Sort alternatives longest-first so the regex prefers the longest match.
         surfaces = sorted(gazetteer.keys(), key=len, reverse=True)
         self._pattern = re.compile(
             r"\b(" + "|".join(re.escape(s) for s in surfaces) + r")\b"
         ) if surfaces else None
         self._gazetteer = dict(gazetteer)
+        self._fmt = fmt
         self.context_length = context_length
 
     def __call__(self, prompts: List[str]) -> List[str]:
         out = []
         for prompt in prompts:
             text = extract_fenced_text(prompt)
-            lines = []
-            if self._pattern is not None:
+            lines: List[str] = []
+            if self._pattern is not None and self._fmt == "cot":
                 for i, m in enumerate(self._pattern.finditer(text)):
                     label = self._gazetteer[m.group(1)]
                     lines.append(f"{i + 1}. {m.group(1)} | True | {label} | is a {label}")
+            elif self._pattern is not None:
+                by_label: Dict[str, List[str]] = {}
+                for m in self._pattern.finditer(text):
+                    label = self._gazetteer[m.group(1)]
+                    phrases = by_label.setdefault(label, [])
+                    if m.group(1) not in phrases:
+                        phrases.append(m.group(1))
+                lines = [f"{label}: {', '.join(ps)}" for label, ps in by_label.items()]
             out.append("\n".join(lines))
         return out
 

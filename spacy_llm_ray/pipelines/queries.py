@@ -155,6 +155,31 @@ FROM m JOIN (VALUES {_LABEL_VALUES}) g(surface, label) ON m.mention = g.surface
 """
 
 
+def q_kg_mentions_v1(sf_dir: str):
+    """Same mention extraction through the v1/v2 response format
+    (``"<LABEL>: a, b"`` lines, parse_span_response + multi-occurrence
+    substring grounding + filter_spans overlap resolution) — the overlapping
+    alias variants ("New York" inside "New York City") exercise the
+    longest-first filter; the final multiset equals the CoT path's."""
+    from ..models.mock import MockNERModel
+
+    docs = kg.documents_dataset(sf_dir, max_doc_turns=kg.MAX_DOC_TURNS)
+    ds = docs.map_batches(
+        NerStage,
+        fn_constructor_kwargs=dict(
+            labels=kg.LABELS_NER,
+            model=MockNERModel(tdata.GAZETTEER, context_length=None, fmt="v1"),
+            cot=False,
+        ),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+    return ds.map_batches(_explode_mentions, batch_format="pyarrow").select_columns(
+        ["conv_id", "mention", "label"]
+    )
+
+
 def q_kg_linked_mentions(sf_dir: str):
     ds = kg.kg_linked_dataset(sf_dir, models=_oracle_models())
     return ds.map_batches(_explode_mentions, batch_format="pyarrow").select_columns(
@@ -905,6 +930,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     # KG pipeline (flagship)
     "kg_doc_assembly": (q_kg_doc_assembly, SQL_KG_DOC_ASSEMBLY),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
+    "kg_mentions_v1": (q_kg_mentions_v1, SQL_KG_MENTIONS),
     "kg_linked_mentions": (q_kg_linked_mentions, SQL_KG_LINKED_MENTIONS),
     "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
     "kg_triples_by_pred": (q_kg_triples_by_pred, SQL_KG_TRIPLES_BY_PRED),
