@@ -904,6 +904,22 @@ FROM documents
 """
 
 
+def q_task_noop(sf_dir: str):
+    """spacy.NoOp.v1 wiring: constant prompt, empty model response, identity
+    parse — exercises the stage plumbing with no annotation effect
+    (tasks/noop.py:21-66 + models/rest/noop/model.py:34-37)."""
+    from ..models.noop import NoOpModel
+    from ..templates import noop_prompt
+
+    return _task_stage(
+        sf_dir, NoOpModel(), noop_prompt, parse_raw_response,
+        "reply", pa.string(), reduce="join",
+    )
+
+
+SQL_TASK_NOOP = "SELECT doc_id, '' AS reply FROM documents"
+
+
 def q_task_spancat(sf_dir: str):
     """SpanCat semantics (overlaps kept, sorted) over assembled transcript
     documents — rows-only check (overlap bookkeeping is not SQL-friendly)."""
@@ -966,4 +982,5 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "task_raw": (q_task_raw, SQL_TASK_RAW),
     "task_lemma": (q_task_lemma, SQL_TASK_LEMMA),
     "task_spancat": (q_task_spancat, None),
+    "task_noop": (q_task_noop, SQL_TASK_NOOP),
 }

@@ -110,6 +110,14 @@ class _ShardingMixin:
             all_shards.append(shards)
             prompts.extend(crender(s.text, s.i_shard, s.n_shards) for s in shards)
         responses = self._model(prompts)
+        responses = list(responses)
+        if len(responses) != len(prompts):
+            # The prompt/shard/response relationship is strictly 1:1
+            # (reference contract, ty.py:95-118); a silent zip-truncate here
+            # would misalign every downstream doc.
+            raise ValueError(
+                f"model returned {len(responses)} responses for {len(prompts)} prompts"
+            )
         out = []
         ri = 0
         for shards in all_shards:
