@@ -1,0 +1,102 @@
+"""Canonicalization unit behaviors: union-find over (surface, qid) pairs,
+min-ID merge determinism, NIL isolation, case-folded surface equivalence."""
+
+import pyarrow as pa
+import pytest
+
+from spacy_llm_ray.kb import kb_from_dicts
+from spacy_llm_ray.stages.canonicalize import (
+    _UnionFind,
+    build_canonical_mapping,
+    canonicalize_triples,
+)
+
+
+@pytest.fixture()
+def kb():
+    return kb_from_dicts(
+        {
+            "Q2": {"name": "Acme Corporation", "desc": "manufacturer"},
+            "Q60": {"name": "New York City", "desc": "city"},
+        },
+        [
+            {"alias": "Acme Corp", "entities": ["Q2"], "probabilities": [0.7]},
+            {"alias": "Acme Corporation", "entities": ["Q2"], "probabilities": [0.9]},
+        ],
+    )
+
+
+def _triples_ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": [r[0] for r in rows],
+                "subj": [r[1] for r in rows],
+                "subj_label": ["X"] * len(rows),
+                "subj_qid": [r[2] for r in rows],
+                "pred": ["P"] * len(rows),
+                "obj": [r[3] for r in rows],
+                "obj_label": ["Y"] * len(rows),
+                "obj_qid": [r[4] for r in rows],
+            }
+        )
+    )
+
+
+def test_union_find_deterministic_roots():
+    uf = _UnionFind()
+    uf.union("b", "c")
+    uf.union("a", "b")
+    assert uf.find("c") == uf.find("a") == "a"  # smallest string is the root
+
+
+def test_mapping_merges_surfaces_sharing_qid(ray_session, kb):
+    ds = _triples_ds(
+        [
+            ("c1", "Acme Corp", "Q2", "New York", "Q60"),
+            ("c2", "Acme Corporation", "Q2", "Zorblat", "NIL"),
+        ]
+    )
+    mapping = build_canonical_mapping(ds, kb)
+    assert mapping["Acme Corp"] == ("Q2", "Acme Corporation")
+    assert mapping["Acme Corporation"] == ("Q2", "Acme Corporation")
+    # Linked to Q60 but no KB name -> falls back to... Q60 IS absent? present.
+    assert mapping["New York"] == ("Q60", "New York City")
+    # NIL surface stays itself with a surface-derived id.
+    assert mapping["Zorblat"] == ("S:zorblat", "Zorblat")
+
+
+def test_mapping_multi_qid_component_min_id_wins(ray_session, kb):
+    # One surface linked to two different qids across docs merges the qids
+    # into one component; the numerically smallest qid is the representative.
+    ds = _triples_ds(
+        [
+            ("c1", "Acme", "Q60", "x", "NIL"),
+            ("c2", "Acme", "Q2", "x", "NIL"),
+        ]
+    )
+    mapping = build_canonical_mapping(ds, kb)
+    assert mapping["Acme"] == ("Q2", "Acme Corporation")
+
+
+def test_case_folded_surface_equivalence(ray_session, kb):
+    # "ACME corp" and "Acme Corp" share the normalized surface node; a link on
+    # either casing canonicalizes both.
+    ds = _triples_ds(
+        [
+            ("c1", "Acme Corp", "Q2", "x", "NIL"),
+            ("c2", "ACME CORP", "NIL", "x", "NIL"),
+        ]
+    )
+    mapping = build_canonical_mapping(ds, kb)
+    assert mapping["ACME CORP"] == ("Q2", "Acme Corporation")
+
+
+def test_apply_canonical_columns(ray_session, kb):
+    ds = _triples_ds([("c1", "Acme Corp", "Q2", "Zorblat", "NIL")])
+    out = canonicalize_triples(ds, kb).to_pandas()
+    row = out.iloc[0]
+    assert row["subj_canon"] == "Acme Corporation" and row["subj_canon_id"] == "Q2"
+    assert row["obj_canon"] == "Zorblat" and row["obj_canon_id"] == "S:zorblat"
