@@ -116,6 +116,20 @@ def _oracle_models():
     return kg.default_models(context_length=None)
 
 
+# The distinct canonical triples (oracle config) feed three queries; cache the
+# materialized Dataset per sf_dir so the driver's query loop runs the
+# extraction once per process.
+_TRIPLES_CACHE: Dict[str, object] = {}
+
+
+def _oracle_triples(sf_dir: str):
+    ds = _TRIPLES_CACHE.get(sf_dir)
+    if ds is None:
+        ds = kg.kg_triples_dataset(sf_dir, models=_oracle_models()).materialize()
+        _TRIPLES_CACHE[sf_dir] = ds
+    return ds
+
+
 def q_kg_doc_assembly(sf_dir: str):
     docs = kg.documents_dataset(sf_dir)
     return docs.select_columns(["conv_id", "n_turns", "text"])
@@ -196,7 +210,7 @@ FROM m JOIN (VALUES {_CANON_VALUES}) c(surface, qid, canon) ON m.mention = c.sur
 
 
 def q_kg_triples(sf_dir: str):
-    return kg.kg_triples_dataset(sf_dir, models=_oracle_models())
+    return _oracle_triples(sf_dir)
 
 
 SQL_KG_TRIPLES = _TRIPLES_CTE + "SELECT * FROM triples"
@@ -205,7 +219,7 @@ SQL_KG_TRIPLES = _TRIPLES_CTE + "SELECT * FROM triples"
 def q_kg_triples_by_pred(sf_dir: str):
     from ray.data.aggregate import Count
 
-    ds = kg.kg_triples_dataset(sf_dir, models=_oracle_models())
+    ds = _oracle_triples(sf_dir)
     return ds.groupby("pred").aggregate(Count(alias_name="n_triples"))
 
 
@@ -217,7 +231,7 @@ SQL_KG_TRIPLES_BY_PRED = _TRIPLES_CTE + (
 def q_kg_entity_degree(sf_dir: str):
     from ray.data.aggregate import Count
 
-    ds = kg.kg_triples_dataset(sf_dir, models=_oracle_models())
+    ds = _oracle_triples(sf_dir)
 
     def sides(batch: pa.Table) -> pa.Table:
         ents = batch["subj_canon"].to_pylist() + batch["obj_canon"].to_pylist()
