@@ -95,6 +95,68 @@ def run_bench() -> dict:
     }
 
 
+def run_single_stream() -> dict:
+    """Reference-execution-model baseline: the reference processes documents
+    as ONE lazy Python stream of minibatches (LLMWrapper.pipe, batch_size=128,
+    n_process=1 default — pipeline/llm.py:195-207). This mode runs the SAME
+    task semantics (our codecs, which skip spaCy's tokenizer overhead — a
+    generous stand-in since the reference publishes no numbers) through a
+    single in-process loop over the same input, giving the single-node
+    throughput the engine must match or beat."""
+    import pyarrow as pa
+
+    from spacy_llm_ray.data import ensure_dataset, build_kb
+    from spacy_llm_ray.data.transcripts import SF_TURNS  # noqa: F401
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    data_dir = ensure_dataset(SF_DIR)
+    t_all = pq.read_table(
+        f"{data_dir}/transcripts.parquet",
+        columns=["conv_id", "turn_idx", "role", "text"],
+    )
+    n_turns = t_all.num_rows
+
+    from spacy_llm_ray.pipelines import kg
+    from spacy_llm_ray.stages.llm_stage import KGStage
+
+    t0 = time.monotonic()
+    # Assembly, single process (pandas groupby-sort-concat).
+    df = t_all.to_pandas().sort_values(["conv_id", "turn_idx"])
+    df["chunk"] = df["turn_idx"] // kg.MAX_DOC_TURNS
+    docs = (
+        df.groupby(["conv_id", "chunk"], sort=False)["text"]
+        .agg("\n".join)
+        .reset_index()
+    )
+    models = kg.default_models()
+    stage = KGStage(
+        ner_kwargs=dict(labels=kg.LABELS_NER, model=models["ner"]),
+        rel_kwargs=dict(labels=kg.LABELS_REL, model=models["rel"]),
+        el_kwargs=dict(kb=build_kb(), model=models["el"]),
+    )
+    n_raw = 0
+    batch = 128  # the reference's pipe() minibatch size
+    for i in range(0, len(docs), batch):
+        chunk = docs.iloc[i : i + batch]
+        tbl = pa.table({"conv_id": chunk["conv_id"].tolist(),
+                        "text": chunk["text"].tolist()})
+        n_raw += stage(tbl).num_rows
+    # Canonicalize + distinct single-process equivalents are negligible next
+    # to extraction; include a pandas distinct for completeness.
+    dt = time.monotonic() - t0
+    return {
+        "metric": "kg_pipeline_single_stream",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": 1,
+        "turns": n_turns,
+        "n_raw_triples": n_raw,
+        "turns_per_sec": round(n_turns / dt, 1),
+    }
+
+
 def run_child(ncpu: int, sf_dir: str = None) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
     if sf_dir:
@@ -111,6 +173,9 @@ def run_child(ncpu: int, sf_dir: str = None) -> dict:
 
 
 def main():
+    if "--single" in sys.argv:
+        print(json.dumps(run_single_stream()))
+        return
     if "--scaling" in sys.argv:
         # N -> 4N scaling on the SAME compute-dominated input (default 1.92M
         # turns, 32x the sf0.1 table): single-node fixed costs (actor-pool
