@@ -1,0 +1,193 @@
+"""Task / normalizer / misc registries, keyed by the reference's registered
+names (/root/reference/spacy_llm/registry/util.py:4-13 creates the
+registries; task names from tasks/*/registry.py; normalizers from
+registry/normalizer.py; misc from tasks/util/sharding.py).
+
+A user of the reference resolves the same names here and receives the
+engine's stage constructors / callables:
+
+    make_task("spacy.NER.v3", labels=[...], model=...)   -> NerStage instance
+    get_normalizer("spacy.LowercaseNormalizer.v1")        -> callable
+    get_misc("spacy.ShardMapper.v1")()                    -> shard mapper
+
+Model names live in ``spacy_llm_ray.models.registry``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List
+
+from . import normalizers as _norm
+from .tasks import sharding as _sharding
+
+# ------------------------------------------------------------------ tasks
+
+_TASKS: Dict[str, Callable] = {}
+
+
+def register_task(name: str):
+    def deco(factory):
+        _TASKS[name] = factory
+        return factory
+
+    return deco
+
+
+def task_names() -> List[str]:
+    return sorted(_TASKS)
+
+
+def make_task(name: str, **kwargs):
+    if name not in _TASKS:
+        raise ValueError(f"unknown task {name!r}; known: {task_names()}")
+    return _TASKS[name](**kwargs)
+
+
+def _ner_factory(cot: bool):
+    def factory(**kwargs):
+        from .stages.llm_stage import NerStage
+
+        kwargs.setdefault("cot", cot)
+        return NerStage(**kwargs)
+
+    return factory
+
+
+def _spancat_factory(cot: bool):
+    def factory(**kwargs):
+        from .stages.llm_stage import NerStage
+
+        kwargs.setdefault("cot", cot)
+        kwargs.setdefault("assign", "spans")
+        kwargs.setdefault("allow_overlap", True)
+        return NerStage(**kwargs)
+
+    return factory
+
+
+for _v, _cot in (("v1", False), ("v2", False), ("v3", True)):
+    _TASKS[f"spacy.NER.{_v}"] = _ner_factory(_cot)
+    _TASKS[f"spacy.SpanCat.{_v}"] = _spancat_factory(_cot)
+
+
+@register_task("spacy.REL.v1")
+def _rel(**kwargs):
+    from .stages.llm_stage import RelStage
+
+    return RelStage(**kwargs)
+
+
+@register_task("spacy.EntityLinker.v1")
+def _el(**kwargs):
+    from .stages.llm_stage import ElStage
+
+    return ElStage(**kwargs)
+
+
+def _scalar_factory(prompt_mod_attr: str, parse, out_col: str, out_type=None,
+                    reduce: str = "join"):
+    def factory(model, **kwargs):
+        import pyarrow as pa
+
+        from . import templates
+        from .stages.llm_stage import LLMTaskStage
+
+        return LLMTaskStage(
+            model=model,
+            prompt_fn=getattr(templates, prompt_mod_attr),
+            parse_fn=parse,
+            out_col=kwargs.pop("out_col", out_col),
+            out_type=out_type or pa.string(),
+            reduce=kwargs.pop("reduce", reduce),
+            **kwargs,
+        )
+
+    return factory
+
+
+def _register_scalar_tasks():
+    import pyarrow as pa
+
+    from .tasks.lemma import parse_lemma_response
+    from .tasks.raw import parse_raw_response
+    from .tasks.sentiment import parse_sentiment_response
+    from .tasks.summarization import parse_summarization_response
+    from .tasks.translation import parse_translation_response
+
+    _TASKS["spacy.Sentiment.v1"] = _scalar_factory(
+        "sentiment_prompt", parse_sentiment_response, "sentiment",
+        pa.float64(), "weighted_mean",
+    )
+    _TASKS["spacy.Summarization.v1"] = _scalar_factory(
+        "summarization_prompt", parse_summarization_response, "summary"
+    )
+    _TASKS["spacy.Translation.v1"] = _scalar_factory(
+        "translation_prompt", parse_translation_response, "translation"
+    )
+    _TASKS["spacy.Raw.v1"] = _scalar_factory("raw_prompt", parse_raw_response, "reply")
+    _TASKS["spacy.Lemma.v1"] = _scalar_factory(
+        "lemma_prompt", parse_lemma_response, "lemma_pairs",
+        pa.list_(pa.list_(pa.string())), "concat_list",
+    )
+    _TASKS["spacy.NoOp.v1"] = _scalar_factory("noop_prompt", parse_raw_response, "reply")
+    _TASKS["spacy.NoOpNoShards.v1"] = _TASKS["spacy.NoOp.v1"]
+
+
+def _textcat_factory(**kwargs):
+    import pyarrow as pa
+
+    from . import templates
+    from .stages.llm_stage import LLMTaskStage
+    from .tasks.textcat import TextCatConfig, parse_textcat_response
+
+    labels = kwargs.pop("labels")
+    exclusive = kwargs.pop("exclusive_classes", False)
+    model = kwargs.pop("model")
+    cfg = TextCatConfig(labels=labels, exclusive_classes=exclusive)
+
+    def prompt_fn(text, i_shard=0, n_shards=1):
+        return templates.textcat_prompt(
+            text, labels, exclusive_classes=exclusive,
+            i_shard=i_shard, n_shards=n_shards,
+        )
+
+    # Emits the full per-label score dict (Doc.cats analog).
+    return LLMTaskStage(
+        model=model,
+        prompt_fn=prompt_fn,
+        parse_fn=lambda r: parse_textcat_response(cfg, r),
+        out_col=kwargs.pop("out_col", "cats"),
+        out_type=pa.map_(pa.string(), pa.float64()),
+        reduce="weighted_mean_cats",
+        **kwargs,
+    )
+
+
+for _v in ("v1", "v2", "v3"):
+    _TASKS[f"spacy.TextCat.{_v}"] = _textcat_factory
+
+_register_scalar_tasks()
+
+# ------------------------------------------------- normalizers and misc
+
+_NORMALIZERS: Dict[str, Callable[[str], str]] = {
+    "spacy.StripNormalizer.v1": _norm.strip_normalizer,
+    "spacy.LowercaseNormalizer.v1": _norm.lowercase_normalizer,
+}
+
+_MISC: Dict[str, Callable] = {
+    "spacy.NTokenEstimator.v1": lambda: _sharding.count_tokens_by_spaces,
+    "spacy.ShardMapper.v1": _sharding.make_shard_mapper,
+}
+
+
+def get_normalizer(name: str) -> Callable[[str], str]:
+    if name not in _NORMALIZERS:
+        raise ValueError(f"unknown normalizer {name!r}; known: {sorted(_NORMALIZERS)}")
+    return _NORMALIZERS[name]
+
+
+def get_misc(name: str) -> Callable:
+    if name not in _MISC:
+        raise ValueError(f"unknown misc {name!r}; known: {sorted(_MISC)}")
+    return _MISC[name]
