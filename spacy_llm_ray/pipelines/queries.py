@@ -762,8 +762,12 @@ def q_ann_ivf_topk(sf_dir: str):
 
 
 def q_emb_neardup(sf_dir: str):
+    # The synthetic embeddings are random (max pairwise cosine ~0.5), so a
+    # production dedup threshold (0.95) would return zero rows; 0.45
+    # exercises the bucket+verify path with real candidate output. Real
+    # near-dup thresholds are covered in tests/test_dedup_ann.py.
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return dedup_mod.embedding_neardup_pairs(ds, threshold=0.95)
+    return dedup_mod.embedding_neardup_pairs(ds, threshold=0.45)
 
 
 # --------------------------------------------------------------------------
