@@ -1,5 +1,5 @@
 from .assemble import assemble_documents, SALT_BUCKET_TURNS  # noqa: F401
-from .llm_stage import NerStage, RelStage, ElStage, LLMTaskStage  # noqa: F401
+from .llm_stage import NerStage, RelStage, ElStage, LLMTaskStage, KGStage  # noqa: F401
 from .triples import explode_triples  # noqa: F401
 from .schemas import MENTION_TYPE, REL_TYPE, TRIPLE_SCHEMA  # noqa: F401
 from .canonicalize import canonicalize_triples, build_canonical_mapping  # noqa: F401
@@ -18,3 +18,4 @@ from .textstats import (  # noqa: F401
     rolling_hash_fingerprint_batch,
     token_count_batch,
 )
+from .multimodal import ImageDecodeStage, ImageFeatureStage  # noqa: F401
