@@ -203,3 +203,22 @@ class MockSummaryModel:
             words = extract_fenced_text(p).split()
             out.append("'''" + " ".join(words[: self._n]) + "'''")
         return out
+
+
+class EchoChatTransport:
+    """Offline HTTP transport replaying the OpenAI chat-completions schema.
+
+    Stands in for the network in tests/correctness runs: decodes the request
+    body the codec built, echoes the prompt's fenced document text back as
+    ``choices[0].message.content`` — so the full request-build/response-parse
+    path of ``OpenAIProvider`` runs without a network. Deterministic and
+    picklable (safe to ship into map_batches actors).
+    """
+
+    def __call__(self, method, url, headers, json_body, params, timeout):
+        import json as _json
+
+        content = json_body["messages"][0]["content"]
+        reply = extract_fenced_text(content)
+        body = {"choices": [{"message": {"role": "assistant", "content": reply}}]}
+        return 200, _json.dumps(body).encode()

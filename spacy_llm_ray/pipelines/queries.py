@@ -880,6 +880,21 @@ def q_task_raw(sf_dir: str):
 SQL_TASK_RAW = "SELECT doc_id, text AS reply FROM documents"
 
 
+def q_task_raw_rest(sf_dir: str):
+    """Raw task through the real OpenAI REST codec (request build + response
+    parse of ``OpenAIProvider``), with an offline transport replaying the chat
+    schema — proves the provider path is wired end-to-end in the engine."""
+    from ..models.mock import EchoChatTransport
+    from ..models.registry import make_model
+    from ..templates import raw_prompt
+
+    model = make_model("spacy.GPT-3-5.v3", transport=EchoChatTransport())
+    return _task_stage(
+        sf_dir, model, raw_prompt, parse_raw_response,
+        "reply", pa.string(), reduce="join",
+    )
+
+
 def q_task_lemma(sf_dir: str):
     from ..models.mock import MockLemmaModel
     from ..templates import lemma_prompt
@@ -998,6 +1013,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "task_summarize": (q_task_summarize, SQL_TASK_SUMMARIZE),
     "task_translation": (q_task_translation, SQL_TASK_TRANSLATION),
     "task_raw": (q_task_raw, SQL_TASK_RAW),
+    "task_raw_rest": (q_task_raw_rest, SQL_TASK_RAW),
     "task_lemma": (q_task_lemma, SQL_TASK_LEMMA),
     "task_spancat": (q_task_spancat, None),
     "task_noop": (q_task_noop, SQL_TASK_NOOP),

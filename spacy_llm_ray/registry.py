@@ -85,16 +85,27 @@ def _el(**kwargs):
 
 
 def _scalar_factory(prompt_mod_attr: str, parse, out_col: str, out_type=None,
-                    reduce: str = "join"):
+                    reduce: str = "join", prompt_params: tuple = ()):
+    """``prompt_params`` names factory kwargs that bind into the prompt
+    builder (e.g. Translation's ``target_lang``) rather than reaching the
+    stage constructor — mirroring how the reference's task factories forward
+    task config into the Jinja template context."""
+
     def factory(model, **kwargs):
+        import functools
+
         import pyarrow as pa
 
         from . import templates
         from .stages.llm_stage import LLMTaskStage
 
+        prompt_fn = getattr(templates, prompt_mod_attr)
+        bound = {p: kwargs.pop(p) for p in prompt_params if p in kwargs}
+        if bound:
+            prompt_fn = functools.partial(prompt_fn, **bound)
         return LLMTaskStage(
             model=model,
-            prompt_fn=getattr(templates, prompt_mod_attr),
+            prompt_fn=prompt_fn,
             parse_fn=parse,
             out_col=kwargs.pop("out_col", out_col),
             out_type=out_type or pa.string(),
@@ -119,10 +130,14 @@ def _register_scalar_tasks():
         pa.float64(), "weighted_mean",
     )
     _TASKS["spacy.Summarization.v1"] = _scalar_factory(
-        "summarization_prompt", parse_summarization_response, "summary"
+        "summarization_prompt", parse_summarization_response, "summary",
+        prompt_params=("max_n_words",),
     )
+    # Translation REQUIRES target_lang (reference tasks/translation/task.py);
+    # bind it (and optional source_lang) into the prompt builder.
     _TASKS["spacy.Translation.v1"] = _scalar_factory(
-        "translation_prompt", parse_translation_response, "translation"
+        "translation_prompt", parse_translation_response, "translation",
+        prompt_params=("target_lang", "source_lang"),
     )
     _TASKS["spacy.Raw.v1"] = _scalar_factory("raw_prompt", parse_raw_response, "reply")
     _TASKS["spacy.Lemma.v1"] = _scalar_factory(

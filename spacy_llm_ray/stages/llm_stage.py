@@ -95,16 +95,23 @@ class _ShardingMixin:
         prompt build share one render for the common single-shard case."""
         all_shards: List[List[Shard]] = []
         prompts: List[str] = []
-        for text, tokens in items:
+        def make_crender():
+            # Exactly 3 parameters — the shard mapper feeds a 4th char-offset
+            # argument only to >=4-param renderers (offset-aware probes).
             cache: dict = {}
 
-            def crender(st, i, n, _cache=cache):
+            def crender(st, i, n):
                 key = (st, i, n)
-                v = _cache.get(key)
+                v = cache.get(key)
                 if v is None:
                     v = render(st, i, n)
-                    _cache[key] = v
+                    cache[key] = v
                 return v
+
+            return crender
+
+        for text, tokens in items:
+            crender = make_crender()
 
             shards = self._shard_mapper(text, tokens, self._context_length, crender)
             all_shards.append(shards)
@@ -362,9 +369,41 @@ class ElStage(_ShardingMixin):
         plan = []  # (doc_idx, shard_mention_indices, has_cands)
         for di, (text, mentions) in enumerate(zip(texts, mentions_lists)):
             tokens = tokenize(text)
+            # Candidate lookup once per doc (mention surface -> candidates is
+            # offset-independent); reused by every shard AND by the shard-fit
+            # probe below.
+            cands_all = (
+                self._kb.get_candidates_batch(
+                    [m["text"] for m in mentions], top_n=self._top_n
+                )
+                if mentions
+                else []
+            )
+            has_cands_all = [{c.id for c in cs} != {NIL} for cs in cands_all]
+
+            # Shard-fit probe renders with the candidate shard's OWN
+            # mention/candidate block (mentions wholly inside
+            # [offset, offset+len)) — the reference sizes the fully rendered
+            # prompt because entity descriptions are injected after text
+            # slicing (tasks/util/sharding.py:42-60); an empty-block probe
+            # under-counts and can overflow the context.
+            def probe(st, i, n, off, _m=mentions, _c=cands_all,
+                      _h=has_cands_all):
+                hi = off + len(st)
+                incl = [
+                    j for j, m in enumerate(_m)
+                    if _h[j] and m["start_char"] >= off and m["end_char"] <= hi
+                ]
+                return el_v1_prompt(
+                    st,
+                    [_m[j]["text"] for j in incl],
+                    [[c.id for c in _c[j]] for j in incl],
+                    [[c.description for c in _c[j]] for j in incl],
+                    examples=self._examples, i_shard=i, n_shards=n,
+                )
+
             shards = self._shard_mapper(
-                text, tokens, self._context_length,
-                lambda st, i, n: self._render_shard(st, [], i, n),
+                text, tokens, self._context_length, probe,
             )
             out_col.append([dict(m) for m in mentions])
             for shard in shards:
@@ -386,10 +425,8 @@ class ElStage(_ShardingMixin):
                     )
                     for i in midx
                 ]
-                cands = self._kb.get_candidates_batch(
-                    [s.text for s in local], top_n=self._top_n
-                )
-                has_cands = [{c.id for c in cs} != {NIL} for cs in cands]
+                cands = [cands_all[i] for i in midx]
+                has_cands = [has_cands_all[i] for i in midx]
                 highlighted = highlight_mentions(shard.text, local, has_cands)
                 included = [i for i, h in enumerate(has_cands) if h]
                 prompt = el_v1_prompt(
@@ -404,7 +441,14 @@ class ElStage(_ShardingMixin):
                 all_prompts.append(prompt)
                 plan.append((di, midx, local, has_cands))
 
-        responses = self._model(all_prompts)
+        responses = list(self._model(all_prompts))
+        if len(responses) != len(all_prompts):
+            # Same strict 1:1 prompt/response contract as _map_and_call; a
+            # silent zip-truncate would leave trailing mentions NIL unnoticed.
+            raise ValueError(
+                f"model returned {len(responses)} responses for "
+                f"{len(all_prompts)} prompts"
+            )
 
         io_col = [{"prompt": [], "response": []} for _ in texts]
         for (di, midx, local, has_cands), response, prompt in zip(
@@ -431,11 +475,6 @@ class ElStage(_ShardingMixin):
         if self._save_io:
             batch = batch.append_column("llm_io", pa.array(io_col, type=LLM_IO_TYPE))
         return batch
-
-    def _render_shard(self, shard_text: str, mentions, i_shard: int, n_shards: int) -> str:
-        # Used only for shard sizing: render with empty mention block.
-        return el_v1_prompt(shard_text, [], [], [], i_shard=i_shard, n_shards=n_shards)
-
 
 class KGStage:
     """Fused NER -> REL -> EL (-> triple explode) stage: one actor pool, one

@@ -60,10 +60,26 @@ def make_shard_mapper(
         text: str,
         tokens: List[Token],
         context_length: int | None,
-        render: Callable[[str, int, int], str],
+        render: Callable[..., str],
     ) -> List[Shard]:
+        # Renderers may accept the shard's char offset as a 4th parameter so
+        # the fit check can render with the shard's REAL prompt data (EL
+        # injects per-mention candidate descriptions after slicing; the
+        # reference sizes the fully rendered prompt, sharding.py:42-60).
+        import inspect
+
+        try:
+            n_params = len(inspect.signature(render).parameters)
+        except (TypeError, ValueError):
+            n_params = 3
+        if n_params >= 4:
+            call_render = render
+        else:
+            call_render = lambda st, i, n, off: render(st, i, n)  # noqa: E731
+
         if context_length is None or (
-            n_token_estimator(render(text, 0, 1)) * buffer_frac <= context_length
+            n_token_estimator(call_render(text, 0, 1, 0)) * buffer_frac
+            <= context_length
         ):
             return [Shard(text, 0, 0, len(tokens), 0, 1)]
 
@@ -80,7 +96,12 @@ def make_shard_mapper(
                 end_idx = start_idx + max(1, int(remaining * fraction))
                 shard_text = _slice_text(text, tokens, start_idx, end_idx)
                 fits = (
-                    n_token_estimator(render(shard_text, len(shards), n_shards_est))
+                    n_token_estimator(
+                        call_render(
+                            shard_text, len(shards), n_shards_est,
+                            tokens[start_idx].start,
+                        )
+                    )
                     * buffer_frac
                     <= context_length
                 )

@@ -12,12 +12,17 @@ from spacy_llm_ray.models.rest import RESTModel
 def test_registry_names_and_context_lengths():
     names = model_names()
     assert "spacy.GPT-3-5.v3" in names and "test.NoOpModel.v1" in names
-    m = make_model("spacy.GPT-3-5.v3")
-    assert isinstance(m, RESTModel)
+    with pytest.warns(UserWarning, match="OPENAI_API_KEY"):
+        m = make_model("spacy.GPT-3-5.v3")
+    from spacy_llm_ray.models.providers import OpenAIProvider
+
+    assert isinstance(m, OpenAIProvider)
     assert m.context_length == CONTEXT_LENGTHS["gpt-3.5-turbo"] == 4097
-    assert make_model("spacy.GPT-4.v2").context_length == 8192
-    with pytest.raises(RuntimeError, match="no transport"):
-        m(["prompt"])  # unconfigured transport fails loudly
+    with pytest.warns(UserWarning):
+        assert make_model("spacy.GPT-4.v2").context_length == 8192
+    # Legacy seam: call_fn= still builds the envelope-only RESTModel.
+    legacy = make_model("spacy.GPT-4.v1", call_fn=lambda p, t: list(p))
+    assert isinstance(legacy, RESTModel) and legacy.context_length == 8192
     with pytest.raises(ValueError, match="unknown model"):
         make_model("spacy.NotAModel.v9")
 

@@ -87,3 +87,50 @@ def test_model_response_count_guard():
     stage = NerStage(labels=["PERSON"], model=BrokenModel())
     with pytest.raises(ValueError, match="responses for"):
         stage(pa.table({"conv_id": ["c"], "text": ["Alice was here."]}))
+
+
+def test_el_response_count_guard(kb):
+    # ADVICE fix: ElStage enforces the same 1:1 prompt/response contract as
+    # the other stages instead of silently zip-truncating.
+    class BrokenModel:
+        context_length = None
+
+        def __call__(self, prompts):
+            return []
+
+    mentions = [_mention("Alice", 0, "PERSON", 0, 1)]
+    stage = ElStage(kb=kb, model=BrokenModel())
+    with pytest.raises(ValueError, match="responses for"):
+        stage(_batch("Alice was here.", mentions))
+
+
+def test_el_shard_probe_accounts_for_candidate_block(kb):
+    # ADVICE fix: the shard-fit probe renders with the doc's full candidate
+    # block. A mention-dense doc with a small context must split MORE than an
+    # empty-block probe would conclude — every rendered EL prompt (text +
+    # mention list + per-candidate descriptions) stays under context_length.
+    from spacy_llm_ray.tasks.sharding import count_tokens_by_spaces
+
+    text = "Alice met Boston. " * 6
+    mentions = []
+    off = 0
+    for _ in range(6):
+        mentions.append(_mention("Alice", off, "PERSON", 0, 1))
+        mentions.append(_mention("Boston", off + 10, "GPE", 2, 3))
+        off += len("Alice met Boston. ")
+
+    seen_prompts = []
+
+    class RecordingEL(MockELModel):
+        def __call__(self, prompts):
+            seen_prompts.extend(prompts)
+            return super().__call__(prompts)
+
+    ctx = 70
+    stage = ElStage(kb=kb, model=RecordingEL(context_length=ctx))
+    out = stage(_batch(text.rstrip(), mentions))
+    got = {(m["text"], m["kb_id"]) for m in out["mentions"].to_pylist()[0]}
+    assert got == {("Alice", "Q1"), ("Boston", "Q100")}
+    assert len(seen_prompts) >= 2  # the candidate block forced a re-split
+    for p in seen_prompts:
+        assert count_tokens_by_spaces(p) <= ctx

@@ -61,7 +61,9 @@ def test_sharding_in_pipeline(sf_dir):
     g2 = set(map(tuple, gold.values))
     tp = len(g1 & g2)
     # Sharding may lose relations whose subject and object fall in different
-    # shards (the reference has the same property); precision must hold and
-    # recall stay high.
-    assert tp / len(g1) >= 0.99
+    # shards, and EL may NIL mentions straddling a shard boundary (the
+    # reference has the same properties). The EL fit check sizes shards with
+    # the real candidate block (ADVICE r1), so the forced 256-token context
+    # yields a few more boundary NILs than the gold (unsharded-EL) fixture.
+    assert tp / len(g1) >= 0.98
     assert tp / len(g2) >= 0.9

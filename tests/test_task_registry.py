@@ -67,3 +67,27 @@ def test_normalizer_and_misc_names():
     assert get_misc("spacy.NTokenEstimator.v1")()("a b c") == 3
     mapper = get_misc("spacy.ShardMapper.v1")()
     assert callable(mapper)
+
+
+def test_translation_task_binds_target_lang():
+    # ADVICE fix: target_lang must bind into the prompt builder, making the
+    # registered spacy.Translation.v1 actually runnable.
+    from spacy_llm_ray.models.mock import MockUpperModel
+
+    stage = make_task(
+        "spacy.Translation.v1", model=MockUpperModel(), target_lang="Spanish"
+    )
+    out = stage(pa.table({"text": ["hola mundo"]}))
+    assert out["translation"].to_pylist() == ["HOLA MUNDO"]
+    prompt = stage._prompt_fn("x")
+    assert "Spanish" in prompt
+
+
+def test_summarization_task_binds_max_n_words():
+    from spacy_llm_ray.models.mock import MockSummaryModel
+
+    stage = make_task(
+        "spacy.Summarization.v1", model=MockSummaryModel(2), max_n_words=2
+    )
+    out = stage(pa.table({"text": ["one two three four"]}))
+    assert out["summary"].to_pylist() == ["one two"]
