@@ -112,3 +112,83 @@ def test_brute_force_and_ivf_topk(ray_session):
     ivf = ivf_topk(ds, queries, k=10, n_centroids=8, nprobe=3)
     rec = len(set(ivf[ivf.query_id == 0].vec_id) & topk_ref(vecs[0])) / 10
     assert rec >= 0.5  # approximate path: decent recall at nprobe=3/8
+
+
+def test_minhash_lsh_dedup_dup_heavy_corpus(ray_session):
+    """Dup-heavy corpus at ~10x the sf0.01 doc count: 30% of docs are
+    near-copies of a small set of bases. The distributed verify path
+    (distinct pairs -> text joins -> in-batch Jaccard) must group every
+    near-copy with its base and leave singletons alone."""
+    import ray.data
+
+    from spacy_llm_ray.stages.dedup import minhash_lsh_dedup
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    n_base = 20
+    bases = [
+        " ".join(rng.choice(vocab, size=60).tolist()) for _ in range(n_base)
+    ]
+    rows = []
+    doc_id = 0
+    expected_base = {}
+    for bi, base in enumerate(bases):
+        # base + ~75 near-copies each (one word swapped) -> ~30% duplicates
+        owner = doc_id
+        rows.append({"doc_id": doc_id, "text": base})
+        doc_id += 1
+        for _ in range(75):
+            words = base.split()
+            words[int(rng.randint(len(words)))] = "zz"
+            rows.append({"doc_id": doc_id, "text": " ".join(words)})
+            expected_base[doc_id] = owner
+            doc_id += 1
+    while doc_id < 5000:
+        rows.append(
+            {"doc_id": doc_id, "text": " ".join(rng.choice(vocab, size=60).tolist())}
+        )
+        doc_id += 1
+    ds = ray.data.from_items(rows).repartition(8)
+    out = minhash_lsh_dedup(ds, threshold=0.7).to_pandas()
+    groups = dict(zip(out["doc_id"], out["dup_group"]))
+    n_grouped = sum(
+        1 for d, owner in expected_base.items() if groups[d] == groups[owner]
+    )
+    # MinHash-LSH is probabilistic; with 1-word-of-60 edits virtually all
+    # copies must land with their base.
+    assert n_grouped / len(expected_base) > 0.99
+    # Unrelated random docs must stay singletons.
+    singles = [d for d in range(4000, 5000) if d in groups]
+    assert all(groups[d] == d for d in singles)
+
+
+def test_simhash_batch_parity_and_neardup_pairs(ray_session):
+    import ray.data
+
+    from spacy_llm_ray.stages.dedup import simhash_neardup_pairs
+
+    # Batch path must equal the single-doc reference implementation.
+    stage = SimHashStage()
+    texts = ["the quick brown fox jumps", "", "one two three four five"]
+    batch_sigs = stage._simhash_many(texts)
+    for t, s in zip(texts, batch_sigs):
+        assert SimHashStage.simhash64(t) == int(s)
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while birds sing in "
+        "tall trees near the quiet river and wind moves the green leaves"
+    )
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},                            # hamming 0
+        {"doc_id": 2, "text": base.replace("quiet", "loud")},   # few bits
+        {"doc_id": 3, "text": "astronomy telescope galaxy nebula star cluster orbit"},
+    ]
+    ds = ray.data.from_items(rows)
+    out = simhash_neardup_pairs(ds, max_hamming=10).to_pandas()
+    pairs = {(a, b) for a, b in zip(out["a"], out["b"])}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    ham01 = out[(out.a == 0) & (out.b == 1)].hamming.iloc[0]
+    assert ham01 == 0
