@@ -28,7 +28,11 @@ class MockNERModel:
     """Emits one CoT line per gazetteer hit, in text order (leftmost-longest,
     non-overlapping) — the response format of spacy.NER.v3. With
     ``fmt="v1"`` it instead answers in the v1/v2 line format
-    ``"<LABEL>: phrase1, phrase2"`` (one line per label, unique phrases)."""
+    ``"<LABEL>: phrase1, phrase2"`` (one line per label, unique phrases).
+    With ``fmt="overlap"`` (the SpanCat stand-in) every surface is scanned
+    INDEPENDENTLY, so nested aliases ("New York" inside "New York City") are
+    all reported, ordered (start, longest-first) — the order the v3 CoT
+    parser's forward cursor requires to ground overlapping spans."""
 
     def __init__(self, gazetteer: Dict[str, str], context_length: Optional[int] = None,
                  fmt: str = "cot"):
@@ -37,6 +41,9 @@ class MockNERModel:
         self._pattern = re.compile(
             r"\b(" + "|".join(re.escape(s) for s in surfaces) + r")\b"
         ) if surfaces else None
+        self._surface_patterns = [
+            (s, re.compile(r"\b" + re.escape(s) + r"\b")) for s in surfaces
+        ]
         self._gazetteer = dict(gazetteer)
         self._fmt = fmt
         self.context_length = context_length
@@ -50,6 +57,14 @@ class MockNERModel:
                 for i, m in enumerate(self._pattern.finditer(text)):
                     label = self._gazetteer[m.group(1)]
                     lines.append(f"{i + 1}. {m.group(1)} | True | {label} | is a {label}")
+            elif self._pattern is not None and self._fmt == "overlap":
+                hits = []
+                for s, pat in self._surface_patterns:
+                    for m in pat.finditer(text):
+                        hits.append((m.start(), -len(s), s))
+                for i, (_, _, s) in enumerate(sorted(hits)):
+                    label = self._gazetteer[s]
+                    lines.append(f"{i + 1}. {s} | True | {label} | is a {label}")
             elif self._pattern is not None:
                 by_label: Dict[str, List[str]] = {}
                 for m in self._pattern.finditer(text):

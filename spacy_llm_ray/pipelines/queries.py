@@ -758,6 +758,38 @@ def q_docs_rolling_fp(sf_dir: str):
     ).select_columns(["doc_id", "rolling_fp"])
 
 
+# Independent SQL recomputation of the Rabin-Karp rolling fingerprint: md5
+# word hashes, polynomial accumulate (base 1000003 mod 2^61-1, HUGEINT
+# intermediate), min over 8-word windows; short docs hash the full list.
+SQL_DOCS_ROLLING_FP = """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS words
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(
+           words, w -> (('0x' || substr(md5(w), 1, 16))::UBIGINT)::HUGEINT
+         ) AS wh
+  FROM docs
+),
+fp AS (
+  SELECT doc_id,
+    CASE WHEN len(wh) < 8 THEN
+      list_reduce(list_prepend(0::HUGEINT, wh),
+                  (a, b) -> (a * 1000003 + b) % 2305843009213693951)
+    ELSE
+      list_min(list_transform(range(1, len(wh) - 6),
+        i -> list_reduce(list_prepend(0::HUGEINT, list_slice(wh, i, i + 7)),
+                         (a, b) -> (a * 1000003 + b) % 2305843009213693951)))
+    END AS fp
+  FROM h
+)
+SELECT doc_id, CAST(fp AS BIGINT) AS rolling_fp FROM fp
+"""
+
+
 def q_docs_minhash_dedup(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = dedup_mod.minhash_lsh_dedup(ds, threshold=0.8)
@@ -769,6 +801,88 @@ def q_docs_simhash(sf_dir: str):
     return ds.map_batches(
         dedup_mod.SimHashStage, batch_format="pyarrow", concurrency=(1, 2)
     ).select_columns(["doc_id", "simhash"])
+
+
+# Independent SQL recomputation of the 64-bit SimHash: md5 word hash (first
+# 8 bytes big-endian == the engine's _stable_hash64), explode words x bits,
+# per-bit majority vote, reassemble dropping bit 63 (int64-friendly mask).
+SQL_DOCS_SIMHASH = """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS w
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM words
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM hashed CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 AND bit < 63
+                  THEN (1::UBIGINT << CAST(bit AS INTEGER)) ELSE 0 END) AS s
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(sig.s, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sig USING (doc_id)
+"""
+
+
+def _sql_stoplist(lang: str) -> str:
+    from ..stages.textstats import _LANG_STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang]))
+
+
+# Independent SQL recomputation of the stopword-profile language ID: per-doc
+# stopword hit counts per language, CJK short-circuit on the first 200 chars,
+# winner = first language (en, de, fr, es order) reaching the max score with
+# ratio strictly > 0.05 — exactly LangIdStage._predict's tie rules.
+SQL_DOCS_LANGID = """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, count(*) AS n,
+         sum(CASE WHEN w IN ({en}) THEN 1 ELSE 0 END) AS s_en,
+         sum(CASE WHEN w IN ({de}) THEN 1 ELSE 0 END) AS s_de,
+         sum(CASE WHEN w IN ({fr}) THEN 1 ELSE 0 END) AS s_fr,
+         sum(CASE WHEN w IN ({es}) THEN 1 ELSE 0 END) AS s_es
+  FROM words GROUP BY doc_id
+),
+cjk AS (
+  SELECT doc_id,
+         length(regexp_replace(substr(text, 1, 200),
+                               '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS n_cjk,
+         length(substr(text, 1, 200)) AS n_head
+  FROM documents
+)
+SELECT d.doc_id,
+  CASE
+    WHEN length(d.text) = 0 THEN 'und'
+    WHEN cjk.n_cjk > cjk.n_head * 0.2 THEN 'zh'
+    WHEN c.n IS NULL OR c.n = 0 THEN 'und'
+    WHEN s_en / CAST(n AS DOUBLE) > 0.05
+         AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+    WHEN s_de / CAST(n AS DOUBLE) > 0.05
+         AND s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+    WHEN s_fr / CAST(n AS DOUBLE) > 0.05
+         AND s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+    WHEN s_es / CAST(n AS DOUBLE) > 0.05
+         AND s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+    ELSE 'und'
+  END AS lang_pred
+FROM documents d
+LEFT JOIN c USING (doc_id)
+LEFT JOIN cjk USING (doc_id)
+""".format(
+    en=_sql_stoplist("en"), de=_sql_stoplist("de"),
+    fr=_sql_stoplist("fr"), es=_sql_stoplist("es"),
+)
 
 
 # --------------------------------------------------------------------------
@@ -830,10 +944,30 @@ def q_ann_ivf_topk(sf_dir: str):
 def q_emb_neardup(sf_dir: str):
     # The synthetic embeddings are random (max pairwise cosine ~0.5), so a
     # production dedup threshold (0.95) would return zero rows; 0.45
-    # exercises the bucket+verify path with real candidate output. Real
-    # near-dup thresholds are covered in tests/test_dedup_ann.py.
+    # exercises the pipeline with real candidate output. n_planes=0 runs the
+    # degenerate exact single-bucket configuration so the result is
+    # oracle-checkable against a SQL cross-join; the LSH-bucketed scale path
+    # is q_emb_neardup_lsh + tests/test_dedup_ann.py.
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return dedup_mod.embedding_neardup_pairs(ds, threshold=0.45)
+    return dedup_mod.embedding_neardup_pairs(ds, threshold=0.45, n_planes=0)
+
+
+SQL_EMB_NEARDUP = """
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
+def q_emb_neardup_lsh(sf_dir: str):
+    # Production shape: hyperplane-LSH buckets + in-bucket exact cosine.
+    # Single-probe recall < 1 by design, so rows-only (the exact variant
+    # above is the oracle-checked one).
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup_mod.embedding_neardup_pairs(ds, threshold=0.45, n_planes=8)
 
 
 # --------------------------------------------------------------------------
@@ -1021,13 +1155,19 @@ SQL_TASK_NOOP = "SELECT doc_id, '' AS reply FROM documents"
 
 def q_task_spancat(sf_dir: str):
     """SpanCat semantics (overlaps kept, sorted) over assembled transcript
-    documents — rows-only check (overlap bookkeeping is not SQL-friendly)."""
+    documents. Oracle: each gazetteer surface matched INDEPENDENTLY per doc
+    (one row per occurrence), which is exactly what allow_overlap keeps —
+    nested aliases like "New York" inside "New York City" appear for both
+    surfaces. Runs unsharded (context=None) like the other KG oracles."""
+    from ..models.mock import MockNERModel
+
     docs = kg.documents_dataset(sf_dir)
-    models = kg.default_models()
     ds = docs.map_batches(
         NerStage,
         fn_constructor_kwargs=dict(
-            labels=kg.LABELS_NER, model=models["ner"], assign="spans", allow_overlap=True
+            labels=kg.LABELS_NER,
+            model=MockNERModel(tdata.GAZETTEER, context_length=None, fmt="overlap"),
+            assign="spans", allow_overlap=True,
         ),
         batch_format="pyarrow",
         batch_size=64,
@@ -1036,6 +1176,18 @@ def q_task_spancat(sf_dir: str):
     return ds.map_batches(_explode_mentions, batch_format="pyarrow").select_columns(
         ["conv_id", "mention", "label"]
     )
+
+
+SQL_TASK_SPANCAT = f"""
+WITH t AS (SELECT conv_id, text FROM {_TRANSCRIPTS_SQL}),
+m AS (
+  SELECT t.conv_id, g.surface AS mention, g.label,
+         len(regexp_extract_all(t.text, '\\b' || g.surface || '\\b')) AS n
+  FROM t CROSS JOIN (VALUES {_LABEL_VALUES}) g(surface, label)
+)
+SELECT conv_id, mention, label
+FROM (SELECT conv_id, mention, label, unnest(range(n)) FROM m WHERE n > 0)
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1065,14 +1217,15 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "docs_quality": (q_docs_quality, SQL_DOCS_QUALITY),
     "docs_fingerprint": (q_docs_fingerprint, SQL_DOCS_FINGERPRINT),
     "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
-    "docs_langid": (q_docs_langid, None),
-    "docs_rolling_fp": (q_docs_rolling_fp, None),
+    "docs_langid": (q_docs_langid, SQL_DOCS_LANGID),
+    "docs_rolling_fp": (q_docs_rolling_fp, SQL_DOCS_ROLLING_FP),
     "docs_minhash_dedup": (q_docs_minhash_dedup, None),
-    "docs_simhash": (q_docs_simhash, None),
+    "docs_simhash": (q_docs_simhash, SQL_DOCS_SIMHASH),
     # embeddings
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_COSINE_TOPK),
-    "emb_neardup": (q_emb_neardup, None),
+    "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
+    "emb_neardup_lsh": (q_emb_neardup_lsh, None),
     # LLM task stages over documents
     "task_sentiment": (q_task_sentiment, SQL_TASK_SENTIMENT),
     "task_textcat": (q_task_textcat, SQL_TASK_TEXTCAT),
@@ -1081,6 +1234,6 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "task_raw": (q_task_raw, SQL_TASK_RAW),
     "task_raw_rest": (q_task_raw_rest, SQL_TASK_RAW),
     "task_lemma": (q_task_lemma, SQL_TASK_LEMMA),
-    "task_spancat": (q_task_spancat, None),
+    "task_spancat": (q_task_spancat, SQL_TASK_SPANCAT),
     "task_noop": (q_task_noop, SQL_TASK_NOOP),
 }

@@ -422,7 +422,12 @@ def embedding_neardup_pairs(
     seed: int = 7,
 ):
     """Near-duplicate (a, b, cos) pairs via random-hyperplane LSH buckets +
-    exact cosine within bucket. Bucket groupby is the only shuffle."""
+    exact cosine within bucket. Bucket groupby is the only shuffle.
+
+    ``n_planes=0`` degenerates to ONE bucket = exact all-pairs cosine —
+    the oracle-checkable configuration (use only at test scale); pairs are
+    emitted with ``a < b`` (group sorted by id) and double-precision cosine
+    so results match a SQL cross-join oracle."""
     import ray
 
     def add_bucket(batch: pa.Table, planes=None) -> pa.Table:
@@ -436,15 +441,16 @@ def embedding_neardup_pairs(
     # Deterministic planes; broadcast via closure capture (small).
     rng = np.random.RandomState(seed)
     dim = len(emb_ds.take(1)[0][vec_col])
-    planes = rng.randn(n_planes, dim).astype(np.float32)
+    planes = rng.randn(max(0, n_planes), dim).astype(np.float32)
 
     with_bucket = emb_ds.map_batches(
         lambda b: add_bucket(b, planes=planes), batch_format="pyarrow"
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(id_col, kind="mergesort")
         ids = group[id_col].to_numpy()
-        vecs = np.stack(group[vec_col].to_numpy())
+        vecs = np.stack(group[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1
         v = vecs / norms
@@ -455,7 +461,7 @@ def embedding_neardup_pairs(
             {
                 "a": ids[ia[mask]],
                 "b": ids[ib[mask]],
-                "cos": np.round(sims[ia[mask], ib[mask]].astype(np.float64), 6),
+                "cos": np.round(sims[ia[mask], ib[mask]], 6),
             }
         )
 
