@@ -345,3 +345,9 @@ def _mock_lemma(**kwargs):
 @register_model("mock.Upper.v1")
 def _mock_upper(**kwargs):
     return MockUpperModel(**kwargs)
+
+
+# HF local models (hf.py) — resolve the reference's six registered names.
+from . import hf as _hf  # noqa: E402
+
+_hf.register_hf_models(register_model)
