@@ -1,0 +1,236 @@
+"""spaCy / confection ``.cfg`` compatibility loader.
+
+A spacy-llm user's existing config files (the reference's
+``usage_examples/*/*.cfg``, parsed by confection — util.py:22-48 in the
+reference) load directly: the INI-with-dotted-sections format is parsed into
+a nested dict, ``${section.key}`` variables interpolate, and ``@llm_tasks`` /
+``@llm_models`` / ``@misc`` / ``@llm_misc`` registry references resolve
+against THIS engine's registries (the registered names already line up —
+``registry.py`` / ``models/registry.py``).
+
+confection itself is not installed in this container, so the subset of its
+syntax the reference's configs use is parsed here: JSON-typed values, bare
+strings, indented multi-line continuations, nested sections, variable
+interpolation, and null/true/false literals.
+
+``build_pipeline(cfg)`` returns the ordered LLM stage objects ready for
+``map_batches`` — sourced spaCy components (e.g. ``source =
+"en_core_web_md"``) are noted but skipped, as the engine replaces them with
+its own stages.
+"""
+
+from __future__ import annotations
+
+import configparser
+import json
+import re
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+_VAR_RE = re.compile(r"\$\{([A-Za-z0-9_.]+)\}")
+
+
+def _parse_value(raw: str) -> Any:
+    """confection value semantics: JSON first, then bare string (quotes
+    stripped); multi-line continuations are joined with newlines."""
+    s = raw.strip()
+    if s == "" or s.lower() == "null":
+        return None
+    try:
+        return json.loads(s)
+    except json.JSONDecodeError:
+        pass
+    if len(s) >= 2 and s[0] == s[-1] == '"':
+        return s[1:-1]
+    # configparser joins continuation lines with '\n'; confection treats the
+    # whole thing as one string value.
+    return s
+
+
+def parse_cfg(text: str, interpolate: bool = True) -> Dict[str, Any]:
+    """Parse .cfg text into a nested dict (sections split on '.')."""
+    cp = configparser.ConfigParser(interpolation=None, strict=False)
+    cp.optionxform = str  # preserve key case (labels, @keys)
+    cp.read_string(text)
+    root: Dict[str, Any] = {}
+    for section in cp.sections():
+        node = root
+        for part in section.split("."):
+            node = node.setdefault(part, {})
+        for key, raw in cp.items(section):
+            node[key] = _parse_value(raw)
+    if interpolate:
+        _interpolate(root, root)
+    return root
+
+
+def _lookup(root: Dict[str, Any], dotted: str) -> Any:
+    node: Any = root
+    for part in dotted.split("."):
+        if not isinstance(node, dict) or part not in node:
+            raise KeyError(f"unresolved config variable ${{{dotted}}}")
+        node = node[part]
+    return node
+
+
+def _interpolate(node: Any, root: Dict[str, Any]):
+    if isinstance(node, dict):
+        for k, v in node.items():
+            if isinstance(v, str):
+                m = _VAR_RE.fullmatch(v.strip())
+                if m:
+                    node[k] = _lookup(root, m.group(1))
+                else:
+                    node[k] = _VAR_RE.sub(
+                        lambda mm: str(_lookup(root, mm.group(1))), v
+                    )
+            else:
+                _interpolate(v, root)
+    elif isinstance(node, list):
+        for i, v in enumerate(node):
+            if isinstance(v, str):
+                m = _VAR_RE.fullmatch(v.strip())
+                if m:
+                    node[i] = _lookup(root, m.group(1))
+            else:
+                _interpolate(v, root)
+
+
+def load_cfg(source: Union[str, Path], overrides: Optional[Dict[str, Any]] = None
+             ) -> Dict[str, Any]:
+    """Load a .cfg file (or raw text) into the nested dict form.
+    ``overrides`` maps dotted paths (e.g. ``"paths.examples"``) to values,
+    like spaCy's ``--paths.examples`` CLI overrides."""
+    text = source if "\n" in str(source) else Path(source).read_text()
+    # Overrides land BEFORE interpolation so ${paths.x} picks them up.
+    cfg = parse_cfg(text, interpolate=False)
+    for dotted, value in (overrides or {}).items():
+        node = cfg
+        parts = dotted.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    _interpolate(cfg, cfg)
+    return cfg
+
+
+def _registry_ref(section: Dict[str, Any]) -> Optional[Tuple[str, str, Dict]]:
+    """If the section is a registry reference, return (registry, name,
+    kwargs) where kwargs includes resolved subsections."""
+    for key in ("@llm_tasks", "@llm_models", "@llm_misc", "@misc"):
+        if key in section:
+            kwargs = {
+                k: v for k, v in section.items() if not k.startswith("@")
+            }
+            return key, section[key], kwargs
+    return None
+
+
+def _resolve_misc(name: str, kwargs: Dict[str, Any]) -> Any:
+    """@misc / @llm_misc resolution for the readers/loaders the reference's
+    configs use."""
+    from . import kb as kbmod
+    from . import readers
+
+    if name == "spacy.FewShotReader.v1":
+        path = kwargs.get("path")
+        return readers.fewshot_reader(path) if path else None
+    if name == "spacy.FileReader.v1":
+        path = kwargs.get("path")
+        return readers.file_reader(path) if path else None
+    if name == "spacy.KBFileLoader.v1":
+        path = kwargs.get("path")
+        return kbmod.kb_from_yaml(path) if path else None
+    if name == "spacy.CandidateSelector.v1":
+        # The engine folds candidate selection into ElStage (top-n by prior);
+        # resolve the inner kb_loader and pass the KB through.
+        loader = kwargs.get("kb_loader")
+        return loader
+    raise ValueError(f"unsupported @misc reference {name!r} in .cfg")
+
+
+def _resolve_section(section: Any) -> Any:
+    """Depth-first resolution: registry references at any nesting level are
+    replaced by their built objects."""
+    if not isinstance(section, dict):
+        return section
+    resolved = {k: _resolve_section(v) for k, v in section.items()}
+    ref = _registry_ref(resolved)
+    if ref is None:
+        return resolved
+    reg, name, kwargs = ref
+    if reg in ("@misc", "@llm_misc"):
+        return _resolve_misc(name, kwargs)
+    if reg == "@llm_models":
+        from .models.registry import make_model
+
+        return make_model(name, **kwargs)
+    # @llm_tasks handled by the component builder (needs the model).
+    return resolved
+
+
+def build_pipeline(source: Union[str, Path],
+                   overrides: Optional[Dict[str, Any]] = None,
+                   models: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Build the LLM components described by a spacy-llm .cfg.
+
+    Returns ``{"components": {name: stage}, "order": [...], "skipped":
+    [...], "config": nested_cfg}``. ``models`` optionally overrides the
+    built model per component name (e.g. to inject a mock/transport-wired
+    model for offline runs)."""
+    from .normalizers import split_labels
+    from .registry import make_task
+
+    cfg = load_cfg(source, overrides)
+    pipeline_order = (cfg.get("nlp") or {}).get("pipeline") or []
+    components_cfg = cfg.get("components") or {}
+    init_cfg = (cfg.get("initialize") or {}).get("components") or {}
+
+    built: Dict[str, Any] = {}
+    skipped: List[str] = []
+    for comp_name in pipeline_order or components_cfg.keys():
+        comp = components_cfg.get(comp_name)
+        if not isinstance(comp, dict) or comp.get("factory") != "llm":
+            skipped.append(comp_name)
+            continue
+        task_section = comp.get("task") or {}
+        ref = _registry_ref(task_section)
+        if ref is None:
+            raise ValueError(f"component {comp_name!r} has no @llm_tasks task")
+        _, task_name, _ = ref
+
+        task_kwargs = {
+            k: _resolve_section(v)
+            for k, v in task_section.items()
+            if not k.startswith("@")
+        }
+        if isinstance(task_kwargs.get("labels"), str):
+            task_kwargs["labels"] = split_labels(task_kwargs["labels"])
+        # confection keys the engine stages don't take verbatim:
+        task_kwargs.pop("save_io", None)
+
+        if models and comp_name in models:
+            model = models[comp_name]
+        else:
+            model_section = comp.get("model") or {}
+            model = _resolve_section(model_section)
+            if isinstance(model, dict):
+                raise ValueError(
+                    f"component {comp_name!r} has no @llm_models model"
+                )
+
+        # EL candidate selector / KB from [initialize.components.<name>].
+        init_comp = init_cfg.get(comp_name) or {}
+        if "candidate_selector" in init_comp:
+            kb = _resolve_section(init_comp["candidate_selector"])
+            if kb is not None:
+                task_kwargs.setdefault("kb", kb)
+
+        built[comp_name] = make_task(task_name, model=model, **task_kwargs)
+
+    return {
+        "components": built,
+        "order": [n for n in (pipeline_order or built)],
+        "skipped": skipped,
+        "config": cfg,
+    }

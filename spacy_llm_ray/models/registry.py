@@ -351,3 +351,10 @@ def _mock_upper(**kwargs):
 from . import hf as _hf  # noqa: E402
 
 _hf.register_hf_models(register_model)
+
+
+# LangChain bridge — registers langchain.<Class>.v1 per available LLM class
+# (no-op when langchain isn't installed; see models/langchain.py).
+from . import langchain as _langchain  # noqa: E402
+
+_langchain.register_langchain_models(register_model)
