@@ -65,6 +65,11 @@ def transcripts_dataset(sf_dir: str, columns=None):
     return ray.data.read_parquet(
         f"{data_dir}/transcripts.parquet",
         columns=columns or ["conv_id", "turn_idx", "role", "text"],
+    ).map_batches(
+        # Strip parquet's b'pandas' schema metadata: it makes pa.Schema
+        # unhashable (pyarrow 16) and disables Ray's schema dedup downstream.
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow",
     )
 
 

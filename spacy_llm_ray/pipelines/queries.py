@@ -45,8 +45,18 @@ def _rd():
     return ray.data
 
 
+def _strip_md(t: pa.Table) -> pa.Table:
+    # Parquet's b'pandas' schema metadata makes pa.Schema unhashable
+    # (pyarrow 16), which silently disables Ray's schema dedup in every
+    # downstream operator ("Failed to hash the schemas" warnings). Stripping
+    # is zero-copy.
+    return t.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, table: str, columns=None):
-    return _rd().read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return _rd().read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    ).map_batches(_strip_md, batch_format="pyarrow")
 
 
 def _transcripts_sql_path(sf_dir: str = "/root/testdata/sf0.01") -> str:

@@ -226,8 +226,19 @@ def assemble_documents(
             batch = batch.set_column(
                 idx, "chunk_idx", batch["salt"].cast(pa.int32())
             )
-            return batch
+            # Drop the b'pandas' metadata the pandas->arrow conversion of
+            # map_groups attaches: it makes pa.Schema unhashable and
+            # disables Ray's schema dedup downstream (zero-copy strip).
+            return batch.replace_schema_metadata(None)
 
         return segments.map_batches(finish, batch_format="pyarrow")
-    segments = segments.map_batches(_AddMergeBucket(nb), batch_format="pyarrow")
-    return segments.groupby("bucket2").map_groups(_merge_bucket, batch_format="pandas")
+    segments = segments.map_batches(
+        # strip + tag in one fused step (metadata note above)
+        lambda t, _f=_AddMergeBucket(nb): _f(t).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    )
+    return segments.groupby("bucket2").map_groups(
+        _merge_bucket, batch_format="pandas"
+    ).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
