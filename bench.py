@@ -68,9 +68,13 @@ def run_bench() -> dict:
         "q1_pricing_summary",
         "q3_top_orders",
         "events_sessions",
+        "events_last_order_asof",
         "docs_minhash_dedup",
+        "docs_simhash",
         "ann_cosine_topk",
+        "ann_ivf_topk",
         "task_lemma",
+        "task_raw_rest",
         "kg_doc_assembly",
     )
     for name in names:

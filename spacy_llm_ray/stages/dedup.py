@@ -119,17 +119,26 @@ def explode_bands(batch: pa.Table, bands: int = 32, id_col: str = "doc_id") -> p
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     """One hash *partition* of band rows: emit candidate pairs per
     (band_id, band_hash) bucket via a vectorized pandas groupby (grouping by
-    partition, not by bucket, keeps Ray's group count small)."""
+    partition, not by bucket, keeps Ray's group count small). Pairs are
+    deduped within the partition; cross-partition repeats (same pair
+    colliding in bands hashed elsewhere) survive until the post-verify
+    driver dedup — verification is idempotent, so repeats only cost a
+    little duplicate work, never correctness."""
     out_a: List = []
     out_b: List = []
+    seen: Set[Tuple] = set()
     for _, sub in group.groupby(["band_id", "band_hash"], sort=False):
         if len(sub) < 2:
             continue
-        ids = sorted(sub["doc_id"].tolist())
+        ids = sorted(set(sub["doc_id"].tolist()))
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
+                p = (ids[i], ids[j])
+                if p in seen:
+                    continue
+                seen.add(p)
+                out_a.append(p[0])
+                out_b.append(p[1])
     return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
                          "b": pd.Series(out_b, dtype="int64")})
 
@@ -190,46 +199,68 @@ def minhash_lsh_dedup(
 
     import ray
 
-    n_join = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    # The repartition (cheap: pair rows only) rebuilds blocks so the
-    # schema-less empties from map_groups never reach the hash join, which
-    # rejects blocks missing the key field.
-    distinct_pairs = pairs_ds.groupby("a").map_groups(
-        lambda g: g.drop_duplicates(), batch_format="pandas"
-    ).repartition(n_join).map_batches(_coerce_pairs, batch_format="pyarrow")
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_join = max(2, min(cpus // 8, 16))
 
-    # Distributed verify: pairs |><| texts on 'a', then on 'b' (hash joins
-    # against the 2-column projection), exact Jaccard inside map_batches.
+    # Distributed verify, one corpus shuffle total: explode each candidate
+    # pair to two (a, b, key) rows, hash-join texts on key, co-locate the
+    # pair's two text rows with a bucket groupby, exact Jaccard in-group.
+    # Only VERIFIED pairs reach the driver. (The repartition is over pair
+    # rows only; it also rebuilds blocks so schema-less empties from
+    # map_groups never reach the join, which rejects blocks missing keys.)
+    pairs_clean = pairs_ds.repartition(n_join).map_batches(
+        _coerce_pairs, batch_format="pyarrow"
+    )
+
+    def explode_keys(batch: pa.Table) -> pa.Table:
+        a, b = batch["a"], batch["b"]
+        return pa.table(
+            {
+                "a": pa.concat_arrays([a.combine_chunks(), a.combine_chunks()]),
+                "b": pa.concat_arrays([b.combine_chunks(), b.combine_chunks()]),
+                "key": pa.concat_arrays(
+                    [a.combine_chunks(), b.combine_chunks()]
+                ),
+            }
+        )
+
     texts_ds = docs_ds.map_batches(
         lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
     )
-    j1 = distinct_pairs.join(
+    joined = pairs_clean.map_batches(
+        explode_keys, batch_format="pyarrow"
+    ).join(
         texts_ds, join_type="inner", num_partitions=n_join,
-        on=("a",), right_on=(id_col,),
-    ).map_batches(
-        lambda t: t.select(["a", "b", text_col]).rename_columns(
-            ["a", "b", "__text_a"]
-        ),
-        batch_format="pyarrow",
-    )
-    j2 = j1.join(
-        texts_ds, join_type="inner", num_partitions=n_join,
-        on=("b",), right_on=(id_col,),
+        on=("key",), right_on=(id_col,),
     )
 
-    def _verify(batch: pa.Table) -> pa.Table:
-        ta = batch["__text_a"].to_pylist()
-        tb = batch[text_col].to_pylist()
-        keep = pa.array(
-            [ngram_jaccard(x, y, shingle_n) >= threshold for x, y in zip(ta, tb)]
-        )
-        return batch.filter(keep).select(["a", "b"])
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        bucket = [
+            (int(x) * 0x9E3779B1 ^ int(y)) % 64
+            for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist())
+        ]
+        return batch.append_column("pbucket", pa.array(bucket, type=pa.int32()))
 
-    verified_ds = j2.map_batches(_verify, batch_format="pyarrow")
-    verified: List[Tuple] = []
+    def verify_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        part = part.drop_duplicates(subset=["a", "b", "key"])
+        for (a, b), sub in part.groupby(["a", "b"], sort=False):
+            if len(sub) != 2:
+                continue  # missing doc (filtered upstream) -> unverifiable
+            by_key = dict(zip(sub["key"], sub[text_col]))
+            if ngram_jaccard(by_key[a], by_key[b], shingle_n) >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
+
+    verified_ds = joined.map_batches(
+        add_pair_bucket, batch_format="pyarrow"
+    ).groupby("pbucket").map_groups(verify_bucket, batch_format="pandas")
+    verified_set: Set[Tuple] = set()
     for b in verified_ds.iter_batches(batch_format="pandas"):
-        verified.extend(zip(b["a"].tolist(), b["b"].tolist()))
-    verified.sort()
+        verified_set.update(zip(b["a"].tolist(), b["b"].tolist()))
+    verified = sorted(verified_set)
 
     parent: Dict = {}
 
