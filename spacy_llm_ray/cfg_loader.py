@@ -228,6 +228,21 @@ def build_pipeline(source: Union[str, Path],
 
         built[comp_name] = make_task(task_name, model=model, **task_kwargs)
 
+    # Plan-time schema-chain validation (reference ty.py:344-449 analog):
+    # e.g. a REL/EL component ordered before any mentions-producing stage
+    # fails HERE, not mid-run. Non-LLM (skipped) components are assumed to
+    # provide mentions if named like a NER source, matching spaCy pipelines
+    # that source a statistical NER before the LLM stage.
+    from .stages.schemas import validate_chain
+
+    input_columns = {"doc_id", "conv_id", "text"}
+    if any("ner" in s.lower() for s in skipped):
+        input_columns.add("mentions")
+    validate_chain(
+        [built[n] for n in (pipeline_order or built) if n in built],
+        input_columns,
+    )
+
     return {
         "components": built,
         "order": [n for n in (pipeline_order or built)],

@@ -133,9 +133,13 @@ el_kb = null
 
 [nlp]
 lang = "en"
-pipeline = ["llm-el"]
+pipeline = ["ner", "llm-el"]
 
 [components]
+
+[components.ner]
+source = "en_core_web_md"
+component = "ner"
 
 [components.llm-el]
 factory = "llm"
@@ -203,3 +207,41 @@ def test_built_stage_runs_with_injected_mock():
     res = stage(pa.table({"text": ["I love garlic bread."]}))
     ments = res["mentions"].to_pylist()[0]
     assert [(m["text"], m["label"]) for m in ments] == [("garlic bread", "DISH")]
+
+
+def test_schema_chain_validation_at_build_time():
+    """A REL component with no upstream mentions producer fails at BUILD
+    time with a clear message (plan-time schema-chain check)."""
+    from spacy_llm_ray.models.mock import MockRELModel
+
+    bad_cfg = """
+[nlp]
+lang = "en"
+pipeline = ["llm_rel"]
+
+[components]
+
+[components.llm_rel]
+factory = "llm"
+
+[components.llm_rel.task]
+@llm_tasks = "spacy.REL.v1"
+labels = LivesIn
+
+[components.llm_rel.model]
+@llm_models = "spacy.GPT-3-5.v2"
+"""
+    with pytest.raises(ValueError, match="schema chain invalid.*mentions"):
+        build_pipeline(bad_cfg,
+                       models={"llm_rel": MockRELModel({"lives in": "LivesIn"})})
+
+
+def test_schema_chain_helper():
+    from spacy_llm_ray.models.noop import NoOpModel
+    from spacy_llm_ray.stages.schemas import validate_chain
+
+    ner = NerStage(labels=["X"], model=NoOpModel())
+    rel = RelStage(labels=["Y"], model=NoOpModel())
+    validate_chain([ner, rel], ["conv_id", "text"])  # ok
+    with pytest.raises(ValueError, match="stage 0 \\(RelStage\\)"):
+        validate_chain([rel, ner], ["conv_id", "text"])
