@@ -45,7 +45,7 @@ def test_resume_after_crash(sf_dir, tmp_path_factory):
     with pytest.raises(RuntimeError, match="injected failure"):
         run_partitioned_kg(sf_dir, out_b, n_partitions=N_PARTS, fail_after_partitions=2)
     manifest = read_manifest(out_b)
-    assert sorted(manifest) == [0, 1]
+    assert sorted(manifest) == [(0, 0), (1, 0)]
     assert not os.path.exists(os.path.join(out_b, "_SUCCESS"))
 
     # Resume: only the missing partitions run.
@@ -60,7 +60,7 @@ def test_lineage_records(sf_dir, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("kg_lineage"))
     run_partitioned_kg(sf_dir, out, n_partitions=N_PARTS)
     manifest = read_manifest(out)
-    assert sorted(manifest) == list(range(N_PARTS))
+    assert sorted(manifest) == [(p, 0) for p in range(N_PARTS)]
     for rec in manifest.values():
         assert rec["n_triples"] >= 0
         assert rec["duration_s"] > 0
@@ -87,3 +87,31 @@ def test_matches_unpartitioned_pipeline(sf_dir, tmp_path_factory):
         map(tuple, kg.kg_triples_dataset(sf_dir).to_pandas()[kg.FINAL_COLUMNS].values)
     )
     assert _load_triples(out) == direct
+
+
+def test_subpartition_shard_resume(sf_dir, tmp_path_factory):
+    """n_shards_per_partition=2: a crash mid-partition loses at most one
+    SHARD; resume skips completed shards and the final output matches the
+    unsharded-checkpoint run byte-for-byte."""
+    out_a = str(tmp_path_factory.mktemp("kg_shard_full"))
+    out_b = str(tmp_path_factory.mktemp("kg_shard_resumed"))
+
+    summary = run_partitioned_kg(
+        sf_dir, out_a, n_partitions=2, n_shards_per_partition=2
+    )
+    assert summary["completed"] == [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_partitioned_kg(
+            sf_dir, out_b, n_partitions=2, n_shards_per_partition=2,
+            fail_after_partitions=3,
+        )
+    manifest = read_manifest(out_b)
+    assert sorted(manifest) == [(0, 0), (0, 1), (1, 0)]
+
+    summary = run_partitioned_kg(
+        sf_dir, out_b, n_partitions=2, n_shards_per_partition=2
+    )
+    assert summary["skipped"] == [(0, 0), (0, 1), (1, 0)]
+    assert summary["completed"] == [(1, 1)]
+    assert _load_triples(out_a) == _load_triples(out_b)
