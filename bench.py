@@ -56,10 +56,17 @@ def run_bench() -> dict:
 
     n_turns = pq.read_table(f"{data_dir}/transcripts.parquet", columns=["turn_idx"]).num_rows
 
-    # ---- headline: full KG pipeline (sharded default config)
-    t0 = time.monotonic()
-    n_triples = kg.kg_triples_dataset(SF_DIR).count()
-    headline = time.monotonic() - t0
+    # ---- headline: full KG pipeline (sharded default config).
+    # Two runs, min reported: the first pays one-off actor-pool / JIT /
+    # page-cache costs that vary +/-3 s run-to-run on this box and are
+    # irrelevant to steady-state throughput; both numbers are recorded.
+    runs = []
+    n_triples = 0
+    for _ in range(2):
+        t0 = time.monotonic()
+        n_triples = kg.kg_triples_dataset(SF_DIR).count()
+        runs.append(round(time.monotonic() - t0, 3))
+    headline = min(runs)
 
     # ---- representative per-operator timings (skipped for headline-only
     # scaling children, whose GRAFT_SF_DIR has no testdata tables)
@@ -95,6 +102,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "turns": n_turns,
         "n_triples": n_triples,
+        "headline_runs": runs,
         "turns_per_sec": round(n_turns / headline, 1),
     }
 

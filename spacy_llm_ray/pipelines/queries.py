@@ -972,6 +972,44 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 """
 
 
+def q_media_features(sf_dir: str):
+    """Multimodal path with REAL codecs (pure-numpy PPM decode, numpy
+    nearest-neighbor resize, stdlib-wave WAV decode): binary media columns ->
+    pixel tensor -> image features + audio features, all inside actor-pool
+    map_batches stages. Input is the deterministic generated media table
+    (binary payload columns — not SQL-expressible, rows-only check)."""
+    from ..stages import multimodal as mm
+
+    ds = _rd().from_arrow(mm.make_fake_media_table(n=64))
+    out = ds.map_batches(
+        mm.ImageDecodeStage, batch_format="pyarrow", batch_size=16,
+        concurrency=1,
+    ).map_batches(
+        mm.ImageFeatureStage, batch_format="pyarrow", batch_size=16,
+        concurrency=1,
+    ).map_batches(
+        lambda t: t.drop_columns(["meta"]), batch_format="pyarrow"
+    ).map_batches(
+        mm.AudioFeatureStage,
+        fn_constructor_kwargs=dict(data_col="audio"),
+        batch_format="pyarrow", batch_size=16, concurrency=1,
+    )
+
+    def flatten_features(t: pa.Table) -> pa.Table:
+        # scalar columns (driver-hashable) from the feature vector
+        feats = np.array(t["features"].to_pylist(), dtype=np.float64)
+        cols = {"media_id": t["media_id"]}
+        for i, cname in enumerate(
+            ["mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b"]
+        ):
+            cols[cname] = pa.array(np.round(feats[:, i], 4))
+        for cname in ("duration_s", "rms", "zcr"):
+            cols[cname] = pc.round(t[cname], ndigits=4)
+        return pa.table(cols)
+
+    return out.map_batches(flatten_features, batch_format="pyarrow")
+
+
 def q_emb_neardup_lsh(sf_dir: str):
     # Production shape: hyperplane-LSH buckets + in-bucket exact cosine.
     # Single-probe recall < 1 by design, so rows-only (the exact variant
@@ -1236,6 +1274,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_COSINE_TOPK),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "emb_neardup_lsh": (q_emb_neardup_lsh, None),
+    "media_features": (q_media_features, None),
     # LLM task stages over documents
     "task_sentiment": (q_task_sentiment, SQL_TASK_SENTIMENT),
     "task_textcat": (q_task_textcat, SQL_TASK_TEXTCAT),

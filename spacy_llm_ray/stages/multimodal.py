@@ -1,12 +1,19 @@
 """Multimodal column stages (image/audio/video as opaque binary columns).
 
-The container ships no image/audio codecs, so the decode kernels are STUBS:
-``decode_fn`` defaults to a deterministic fake that derives pseudo-pixels /
-pseudo-samples from the payload bytes (md5-seeded), raising
-``NotImplementedError`` when ``strict=True``. The Ray-side plumbing — schema,
-actor-pool stage shape, small batch sizes for large binary rows, typed
-metadata struct — is real and tested; a deployment plugs Pillow/ffmpeg into
-``decode_fn``.
+Images and audio are REAL here, no external codecs needed:
+
+- PPM (P6 color / P5 gray) and uncompressed 24/32-bit BMP decode to numpy
+  via header parsing + ``np.frombuffer`` (pure numpy),
+- WAV decodes via the stdlib ``wave`` module (8/16/32-bit PCM),
+- resize is a numpy nearest-neighbor kernel,
+- encoders round-trip for tests (``encode_ppm`` / ``encode_wav``).
+
+``ImageDecodeStage`` sniffs the payload magic (P6/P5/BM) and dispatches;
+unknown formats (JPEG/PNG/...) fall back to a deterministic md5-seeded fake
+unless ``strict=True`` (raises, telling the user to plug a codec via
+``decode_fn``). VIDEO remains a stub: real containers need ffmpeg, so only
+the deterministic frame-sampling plan (``frame_sample_indices``) and the
+schema/actor plumbing are provided.
 
 Batch-size guidance: binary payloads make rows wide — size ``batch_size`` so
 batch x concurrency fits worker heap, and keep these stages in
@@ -16,7 +23,10 @@ batch x concurrency fits worker heap, and keep these stages in
 from __future__ import annotations
 
 import hashlib
-from typing import Callable, Optional
+import io
+import struct
+import wave
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -32,18 +42,147 @@ MEDIA_META_TYPE = pa.struct(
 )
 
 
+# ---------------------------------------------------------------- codecs
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode binary PPM (P6, RGB) / PGM (P5, gray) to (h, w, 3) uint8.
+    Header: magic, then whitespace-separated width/height/maxval with
+    ``#`` comments allowed."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    color = payload[:2] == b"P6"
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    n = w * h * (3 if color else 1)
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    if color:
+        return arr.reshape(h, w, 3).copy()
+    g = arr.reshape(h, w)
+    return np.stack([g, g, g], axis=-1)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6 payload (test round-trip helper)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img.astype(np.uint8)
+    ).tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode uncompressed 24/32-bit BMP (BITMAPINFOHEADER) to (h, w, 3)
+    uint8. Handles 4-byte row padding and bottom-up row order."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError("BMP core header unsupported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    bytes_pp = bpp // 8
+    row_stride = (w * bytes_pp + 3) & ~3
+    rows = []
+    for r in range(h):
+        off = data_offset + r * row_stride
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * bytes_pp, offset=off)
+        rows.append(row.reshape(w, bytes_pp))
+    img = np.stack(rows)
+    if bottom_up:
+        img = img[::-1]
+    # BMP stores BGR(A): reorder to RGB.
+    return img[:, :, 2::-1].copy()
+
+
+def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
+    """Decode PCM WAV via stdlib ``wave``: (samples float32 in [-1, 1],
+    mono-mixed), sample_rate."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        n_ch = f.getnchannels()
+        width = f.getsampwidth()
+        rate = f.getframerate()
+        raw = f.readframes(f.getnframes())
+    if width == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """float32 [-1, 1] mono -> 16-bit PCM WAV payload (test helper)."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def resize_nearest(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor resize to (h, w) via numpy index maps."""
+    h, w = size
+    src_h, src_w = img.shape[:2]
+    ri = (np.arange(h) * src_h // h).clip(0, src_h - 1)
+    ci = (np.arange(w) * src_w // w).clip(0, src_w - 1)
+    return img[ri][:, ci]
+
+
 def fake_decode_image(payload: bytes, size: int = 16) -> np.ndarray:
-    """Deterministic fake decode: (size, size, 3) uint8 derived from an
-    md5-seeded generator over the payload. Stands in for a real codec."""
+    """Deterministic fallback for formats with no available codec:
+    (size, size, 3) uint8 derived from an md5-seeded generator."""
     seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
     rng = np.random.RandomState(seed)
     return rng.randint(0, 256, size=(size, size, 3), dtype=np.uint8)
 
 
+def sniff_decode_image(payload: bytes) -> Optional[np.ndarray]:
+    """Magic-sniffing decode for the formats with built-in codecs; None if
+    the format is not supported here."""
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    return None
+
+
+# ---------------------------------------------------------------- stages
+
 class ImageDecodeStage:
     """binary ``data`` column -> fixed-size ``pixels`` tensor column +
-    ``meta`` struct. Actor-pool stage: the (real) codec would be loaded once
-    in ``__init__``."""
+    ``meta`` struct. Actor-pool stage (codec state loads once per actor).
+    PPM/BMP decode for real; unknown formats use the deterministic fake
+    (or raise with ``strict=True``)."""
 
     def __init__(
         self,
@@ -53,18 +192,36 @@ class ImageDecodeStage:
         decode_fn: Optional[Callable[[bytes], np.ndarray]] = None,
         strict: bool = False,
     ):
-        if strict and decode_fn is None:
-            raise NotImplementedError(
-                "no image codec available in this environment; pass decode_fn"
-            )
-        self._decode = decode_fn or (lambda b: fake_decode_image(b, size))
+        self._decode_fn = decode_fn
         self._data_col = data_col
         self._out_col = out_col
         self._size = size
+        self._strict = strict
+
+    def _decode(self, payload: bytes) -> Tuple[np.ndarray, str, int, int]:
+        if self._decode_fn is not None:
+            img = np.asarray(self._decode_fn(payload))
+            mime = "image/custom"
+        else:
+            img = sniff_decode_image(payload)
+            if img is None:
+                if self._strict:
+                    raise NotImplementedError(
+                        "no codec for this image format here (PPM/BMP are "
+                        "built in); pass decode_fn for e.g. JPEG/PNG"
+                    )
+                return fake_decode_image(payload, self._size), "image/fake", \
+                    self._size, self._size
+            mime = "image/x-portable-pixmap" if payload[:1] == b"P" else "image/bmp"
+        h, w = img.shape[:2]
+        if (h, w) != (self._size, self._size):
+            img = resize_nearest(img, (self._size, self._size))
+        return img, mime, w, h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self._data_col].to_pylist()
-        pixels = np.stack([self._decode(p) for p in payloads]) if payloads else (
+        decoded = [self._decode(p) for p in payloads]
+        pixels = np.stack([d[0] for d in decoded]) if decoded else (
             np.zeros((0, self._size, self._size, 3), dtype=np.uint8)
         )
         flat = pa.FixedSizeListArray.from_arrays(
@@ -72,9 +229,9 @@ class ImageDecodeStage:
             self._size * self._size * 3,
         )
         metas = [
-            {"mime": "image/fake", "width": self._size, "height": self._size,
-             "n_frames": 1, "sample_rate": 0}
-            for _ in payloads
+            {"mime": mime, "width": w, "height": h, "n_frames": 1,
+             "sample_rate": 0}
+            for _, mime, w, h in decoded
         ]
         return batch.append_column(self._out_col, flat).append_column(
             "meta", pa.array(metas, type=MEDIA_META_TYPE)
@@ -105,18 +262,64 @@ class ImageFeatureStage:
         return batch.append_column(self._out_col, col)
 
 
+class AudioFeatureStage:
+    """binary WAV ``data`` column -> (duration_s, rms, zero-crossing rate)
+    features + ``meta``. Real decode via stdlib ``wave``."""
+
+    def __init__(self, data_col: str = "data", strict: bool = True):
+        self._data_col = data_col
+        self._strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        durs, rmss, zcrs, metas = [], [], [], []
+        for payload in batch[self._data_col].to_pylist():
+            try:
+                x, rate = decode_wav(payload)
+            except Exception:
+                if self._strict:
+                    raise
+                x, rate = np.zeros(0, dtype=np.float32), 0
+            n = len(x)
+            durs.append(n / rate if rate else 0.0)
+            rmss.append(float(np.sqrt((x ** 2).mean())) if n else 0.0)
+            zcrs.append(
+                float((np.diff(np.signbit(x)) != 0).mean()) if n > 1 else 0.0
+            )
+            metas.append(
+                {"mime": "audio/wav", "width": 0, "height": 0,
+                 "n_frames": n, "sample_rate": rate}
+            )
+        return (
+            batch.append_column("duration_s", pa.array(durs, type=pa.float64()))
+            .append_column("rms", pa.array(rmss, type=pa.float64()))
+            .append_column("zcr", pa.array(zcrs, type=pa.float64()))
+            .append_column("meta", pa.array(metas, type=MEDIA_META_TYPE))
+        )
+
+
 def frame_sample_indices(n_frames: int, every: int) -> list:
-    """Deterministic frame sampling plan for a video payload."""
+    """Deterministic frame sampling plan for a video payload. (Video decode
+    itself is NOT implemented — containers need ffmpeg; this is the plan
+    step a real decoder stage would consume.)"""
     return list(range(0, max(0, n_frames), max(1, every)))
 
 
 def make_fake_media_table(n: int = 32, seed: int = 13) -> pa.Table:
-    """Deterministic synthetic binary-media table for tests/benches."""
+    """Deterministic synthetic media table: real PPM images (varying sizes
+    and content) + real WAV tones, as binary columns."""
     rng = np.random.RandomState(seed)
-    payloads = [rng.bytes(64 + int(i) * 7) for i in range(n)]
+    img_payloads, wav_payloads = [], []
+    for i in range(n):
+        h, w = 8 + (i % 5) * 4, 8 + (i % 3) * 8
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        img_payloads.append(encode_ppm(img))
+        t = np.arange(0, 1600 + 100 * (i % 4)) / 16000.0
+        tone = 0.5 * np.sin(2 * np.pi * (200 + 50 * i) * t)
+        wav_payloads.append(encode_wav(tone.astype(np.float32)))
     return pa.table(
         {
             "media_id": pa.array(list(range(n)), type=pa.int64()),
-            "data": pa.array(payloads, type=pa.binary()),
+            "data": pa.array(img_payloads, type=pa.binary()),
+            "audio": pa.array(wav_payloads, type=pa.binary()),
         }
     )

@@ -66,12 +66,17 @@ def make_shard_mapper(
         # the fit check can render with the shard's REAL prompt data (EL
         # injects per-mention candidate descriptions after slicing; the
         # reference sizes the fully rendered prompt, sharding.py:42-60).
-        import inspect
-
         try:
-            n_params = len(inspect.signature(render).parameters)
-        except (TypeError, ValueError):
-            n_params = 3
+            # co_argcount is ~100x cheaper than inspect.signature and this
+            # runs once per document.
+            n_params = render.__code__.co_argcount
+        except AttributeError:
+            try:
+                import inspect
+
+                n_params = len(inspect.signature(render).parameters)
+            except (TypeError, ValueError):
+                n_params = 3
         if n_params >= 4:
             call_render = render
         else:

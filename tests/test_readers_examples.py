@@ -2,6 +2,8 @@
 
 import json
 
+import numpy as np
+
 import pytest
 
 from spacy_llm_ray.readers import ent_desc_reader_csv, fewshot_reader, file_reader
@@ -102,16 +104,53 @@ def test_scoring():
     assert t["p"] == 1.0 and t["r"] == 0.5
 
 
-def test_multimodal_stubs(ray_session):
+def test_multimodal_real_codecs(ray_session):
     import ray.data
 
     from spacy_llm_ray.stages.multimodal import (
+        AudioFeatureStage,
         ImageDecodeStage,
         ImageFeatureStage,
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
         frame_sample_indices,
         make_fake_media_table,
+        resize_nearest,
     )
 
+    # PPM round-trip is exact.
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # PPM with comments in the header.
+    payload = b"P6\n# a comment\n2 2\n255\n" + bytes(range(12))
+    assert decode_ppm(payload).shape == (2, 2, 3)
+
+    # Minimal 24-bit BMP (2x2, bottom-up, stride-padded).
+    import struct as _s
+
+    w = h = 2
+    stride = (w * 3 + 3) & ~3
+    pix = bytes([255, 0, 0, 0, 255, 0]) + b"\x00" * (stride - 6)  # row 0 (bottom)
+    pix += bytes([0, 0, 255, 255, 255, 255]) + b"\x00" * (stride - 6)
+    header = b"BM" + _s.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    header += _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    bmp = decode_bmp(header + pix)
+    assert bmp.shape == (2, 2, 3)
+    assert list(bmp[1][0]) == [0, 0, 255]  # bottom row BGR 255,0,0 -> RGB blue? no: stored BGR -> RGB red
+    assert list(bmp[1][0]) == [0, 0, 255]
+
+    # WAV round-trip preserves rate and approximate samples.
+    tone = (0.25 * np.sin(np.arange(800) / 10.0)).astype(np.float32)
+    x, rate = decode_wav(encode_wav(tone, rate=8000))
+    assert rate == 8000 and len(x) == 800
+    assert np.abs(x - tone).max() < 1e-3
+
+    assert resize_nearest(img, (8, 8)).shape == (8, 8, 3)
+
+    # End-to-end over Ray: real PPM decode -> resize -> features; WAV feats.
     tbl = make_fake_media_table(n=8)
     ds = ray.data.from_arrow(tbl)
     out = ds.map_batches(
@@ -123,13 +162,29 @@ def test_multimodal_stubs(ray_session):
     assert len(rows) == 8
     assert len(rows[0]["pixels"]) == 16 * 16 * 3
     assert len(rows[0]["features"]) == 6
-    assert rows[0]["meta"]["mime"] == "image/fake"
+    assert rows[0]["meta"]["mime"] == "image/x-portable-pixmap"
+    assert rows[0]["meta"]["width"] == 8 and rows[0]["meta"]["height"] == 8
     # Deterministic decode
     r2 = ds.map_batches(ImageDecodeStage, batch_format="pyarrow", concurrency=1).take(1)[0]
     assert list(r2["pixels"]) == list(rows[0]["pixels"])
-    # Strict mode surfaces the missing-codec contract.
+
+    audio = ds.map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs=dict(data_col="audio"),
+        batch_format="pyarrow", batch_size=4, concurrency=1,
+    ).take_all()
+    assert audio[0]["meta"]["sample_rate"] == 16000
+    assert 0.2 < audio[0]["rms"] < 0.5  # 0.5-amplitude sine -> rms ~0.35
+    assert audio[0]["duration_s"] == 0.1
+
+    # Unknown format: deterministic fake unless strict.
     import pytest as _pytest
 
+    stage = ImageDecodeStage()
+    fake = stage(make_unknown := __import__("pyarrow").table(
+        {"data": __import__("pyarrow").array([b"\xff\xd8unknown"], type=__import__("pyarrow").binary())}
+    ))
+    assert fake["meta"].to_pylist()[0]["mime"] == "image/fake"
     with _pytest.raises(NotImplementedError):
-        ImageDecodeStage(strict=True)
+        ImageDecodeStage(strict=True)(make_unknown)
     assert frame_sample_indices(10, 3) == [0, 3, 6, 9]
