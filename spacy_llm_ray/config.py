@@ -78,6 +78,11 @@ def build_models(cfg: Dict[str, Any]) -> Dict[str, Any]:
     for role, spec in specs.items():
         spec = dict(spec)
         name = spec.pop("name")
+        # 'name' is the REGISTERED name (spacy.GPT-4.v3); 'model_name'
+        # optionally selects the provider-side model id within the family
+        # (e.g. gpt-4-32k), forwarded as the factory's own name= kwarg.
+        if "model_name" in spec:
+            spec["name"] = spec.pop("model_name")
         models[role] = make_model(name, **spec)
     return models
 

@@ -100,3 +100,13 @@ def test_save_io_capture(ray_session):
     io = row["llm_io"]
     assert len(io["prompt"]) == 1 and "Alice Johnson lives in Boston." in io["prompt"][0]
     assert "Alice Johnson | True | PERSON" in io["response"][0]
+
+
+def test_build_models_model_name_passthrough(monkeypatch):
+    monkeypatch.setenv("OPENAI_API_KEY", "sk")
+    models = build_models(
+        {"models": {"raw": {"name": "spacy.GPT-4.v3",
+                            "model_name": "gpt-4-32k"}}}
+    )
+    m = models["raw"]
+    assert m._name == "gpt-4-32k" and m.context_length == 32768
