@@ -91,6 +91,7 @@ class RESTProvider:
         max_request_time: float = DEFAULT_MAX_REQUEST_TIME,
         context_length: Optional[int] = None,
         transport: Optional[Transport] = None,
+        verify_auth: bool = False,
         _sleep: Callable[[float], None] = time.sleep,
     ):
         assert max_tries >= 1
@@ -107,6 +108,11 @@ class RESTProvider:
         self._transport = transport or requests_transport
         self._sleep = _sleep
         self._creds = self._credentials()
+        # The reference verifies credentials at construction
+        # (rest/base.py:68). Opt-in here because actors are constructed in
+        # bulk and this sandbox has no network; enable for fail-fast auth.
+        if verify_auth:
+            self._verify_auth()
 
     # ---- codec hooks -------------------------------------------------------
 
@@ -136,6 +142,11 @@ class RESTProvider:
     def _body_error(self, response: Dict[str, Any]) -> bool:
         """Whether a 2xx response body is actually an API error object."""
         return "error" in response
+
+    def _verify_auth(self) -> None:
+        """Default auth check: execute a dummy prompt, failing at init time
+        on bad credentials (anthropic/model.py:40-51 pattern)."""
+        self(["test"])
 
     # ---- engine ------------------------------------------------------------
 
@@ -233,6 +244,39 @@ class OpenAIProvider(RESTProvider):
         return self._endpoint == self.CHAT_ENDPOINT or self._endpoint.endswith(
             "/chat/completions"
         )
+
+    MODELS_ENDPOINT = "https://api.openai.com/v1/models"
+
+    def _verify_auth(self) -> None:
+        """GET /v1/models as healthcheck + model-name validation
+        (openai/model.py:41-69)."""
+        status, content = self._transport(
+            "GET", self.MODELS_ENDPOINT, self._creds, None, None,
+            self._max_request_time,
+        )
+        text = content.decode("utf-8", errors="replace")
+        if status == 422:
+            warnings.warn(
+                "Could not access api.openai.com -- 422 permission denied."
+            )
+        elif status != 200:
+            if "Incorrect API key" in text:
+                warnings.warn(
+                    "Authentication with provided API key failed. Please "
+                    "double-check you provided the correct credentials."
+                )
+            else:
+                warnings.warn(
+                    f"Error accessing api.openai.com ({status}): {text}"
+                )
+            return
+        data = json.loads(text).get("data", [])
+        models = [m["id"] for m in data]
+        if self._name not in models:
+            raise ValueError(
+                f"The specified model '{self._name}' is not available. "
+                f"Choices are: {sorted(set(models))}"
+            )
 
     def _request_bodies(self, prompts: List[str]) -> List[Dict[str, Any]]:
         base = {**self._config, "model": self._name}

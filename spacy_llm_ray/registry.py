@@ -183,6 +183,25 @@ for _v in ("v1", "v2", "v3"):
 
 _register_scalar_tasks()
 
+# llm_<task> convenience aliases for the latest task versions, mirroring the
+# reference's auto-registered Language factories (tasks/__init__.py:18-42) —
+# make_task("llm_ner", ...) == make_task("spacy.NER.v3", ...).
+_LATEST_TASKS = (
+    "spacy.EntityLinker.v1",
+    "spacy.NER.v3",
+    "spacy.Raw.v1",
+    "spacy.REL.v1",
+    "spacy.Sentiment.v1",
+    "spacy.SpanCat.v3",
+    "spacy.Summarization.v1",
+    "spacy.TextCat.v3",
+    "spacy.Translation.v1",
+    "spacy.Lemma.v1",
+    "spacy.NoOp.v1",
+)
+for _handle in _LATEST_TASKS:
+    _TASKS[f"llm_{_handle.split('.')[1].lower()}"] = _TASKS[_handle]
+
 # ------------------------------------------------- normalizers and misc
 
 _NORMALIZERS: Dict[str, Callable[[str], str]] = {

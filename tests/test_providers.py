@@ -316,3 +316,52 @@ def test_registry_spacy_noop():
     m = make_model("spacy.NoOp.v1")
     out = m(["a", "b"])
     assert len(out) == 2
+
+
+def test_openai_verify_auth(monkeypatch):
+    monkeypatch.setenv("OPENAI_API_KEY", "sk-test")
+    # Healthcheck lists models; configured name must be present.
+    t = RecordingTransport(
+        [(200, {"data": [{"id": "gpt-4"}, {"id": "gpt-3.5-turbo"}]})]
+    )
+    m = OpenAIProvider(name="gpt-4", endpoint=OpenAIProvider.CHAT_ENDPOINT,
+                       transport=t, verify_auth=True)
+    assert t.calls[0]["method"] == "GET"
+    assert t.calls[0]["url"].endswith("/v1/models")
+    # Unknown model raises with choices listed.
+    t2 = RecordingTransport([(200, {"data": [{"id": "gpt-4"}]})])
+    with pytest.raises(ValueError, match="not available"):
+        OpenAIProvider(name="gpt-9", endpoint=OpenAIProvider.CHAT_ENDPOINT,
+                       transport=t2, verify_auth=True)
+    # Bad key warns (non-fatal), mirroring the reference.
+    t3 = RecordingTransport([(401, {"error": {"message": "Incorrect API key"}})])
+    with pytest.warns(UserWarning, match="Authentication"):
+        OpenAIProvider(name="gpt-4", endpoint=OpenAIProvider.CHAT_ENDPOINT,
+                       transport=t3, verify_auth=True)
+
+
+def test_anthropic_verify_auth_dummy_prompt(monkeypatch):
+    monkeypatch.setenv("ANTHROPIC_API_KEY", "sk-ant")
+    t = RecordingTransport([(200, {"completion": "ok"})])
+    AnthropicProvider(name="claude-2", endpoint=AnthropicProvider.ENDPOINT,
+                      transport=t, verify_auth=True)
+    assert t.calls[0]["body"]["prompt"].startswith("\n\nHuman: test")
+
+
+def test_llm_task_aliases():
+    from spacy_llm_ray.registry import task_names
+
+    names = task_names()
+    for alias in ("llm_ner", "llm_rel", "llm_entitylinker", "llm_textcat",
+                  "llm_sentiment", "llm_summarization", "llm_translation",
+                  "llm_raw", "llm_spancat", "llm_lemma", "llm_noop"):
+        assert alias in names, alias
+    from spacy_llm_ray.models.mock import MockNERModel
+    from spacy_llm_ray.registry import make_task
+
+    stage = make_task("llm_ner", labels=["PERSON"],
+                      model=MockNERModel({"Ann": "PERSON"}, context_length=None))
+    import pyarrow as pa
+
+    out = stage(pa.table({"text": ["Ann is here."]}))
+    assert out["mentions"].to_pylist()[0][0]["text"] == "Ann"
