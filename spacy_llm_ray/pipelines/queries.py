@@ -806,6 +806,92 @@ def q_docs_minhash_dedup(sf_dir: str):
     return out.select_columns(["doc_id", "dup_group"])
 
 
+def _minhash_perm_values() -> str:
+    """The 128 (a, b) permutation parameters (seed 42) as SQL VALUES — the
+    oracle shares only these published constants and recomputes everything
+    else independently."""
+    a, b, _ = dedup_mod._minhash_params(128, 42)
+    return ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(128)
+    )
+
+
+# Full independent SQL recomputation of the MinHash-LSH dedup: 3-word
+# shingles -> md5 word hashes -> (a*h+b) with numpy's uint64 wrap semantics
+# (mod 2^64) then mod 2^61-1, min per permutation -> 32 bands of 4 -> band
+# buckets -> candidate pairs -> exact shingle-Jaccard verify at 0.8 ->
+# connected components via a recursive transitive closure, min-id label.
+SQL_DOCS_MINHASH_DEDUP = f"""
+WITH RECURSIVE perms(i, pa, pb) AS (VALUES {{perms}}),
+words AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '\\w+'), w -> w != '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      ELSE list_transform(range(1, len(ws) - 1),
+                          i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+      END) AS shingle
+  FROM words
+),
+hv AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(shingle), 1, 16))::UBIGINT)::HUGEINT AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, p.i AS perm_i,
+         CAST(min((((p.pa::HUGEINT * h) % 18446744073709551616 + p.pb)
+                   % 18446744073709551616) % 2305843009213693951) AS BIGINT) AS s
+  FROM hv CROSS JOIN perms p GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, perm_i // 4 AS band_id,
+         CAST(('0x' || substr(md5(string_agg(CAST(s AS VARCHAR), ','
+                                             ORDER BY perm_i)), 1, 16))::UBIGINT
+              & 9223372036854775807 AS BIGINT) AS bh
+  FROM sig GROUP BY doc_id, perm_i // 4
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
+  GROUP BY c.a, c.b
+),
+verified AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN counts na ON na.doc_id = c.a
+  JOIN counts nb ON nb.doc_id = c.b
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
+        / (na.n + nb.n - COALESCE(i.i, 0)) >= 0.8
+),
+edges AS (
+  SELECT a, b FROM verified UNION SELECT b AS a, a AS b FROM verified
+),
+reach(src, dst) AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+group_map AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS dup_group
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id, COALESCE(g.dup_group, d.doc_id) AS dup_group
+FROM documents d LEFT JOIN group_map g USING (doc_id)
+""".format(perms=_minhash_perm_values())
+
+
 def q_docs_simhash(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
@@ -1267,7 +1353,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
     "docs_langid": (q_docs_langid, SQL_DOCS_LANGID),
     "docs_rolling_fp": (q_docs_rolling_fp, SQL_DOCS_ROLLING_FP),
-    "docs_minhash_dedup": (q_docs_minhash_dedup, None),
+    "docs_minhash_dedup": (q_docs_minhash_dedup, SQL_DOCS_MINHASH_DEDUP),
     "docs_simhash": (q_docs_simhash, SQL_DOCS_SIMHASH),
     # embeddings
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
