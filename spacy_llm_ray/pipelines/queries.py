@@ -507,24 +507,44 @@ GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def _add_key_bucket(col: str, n_buckets: int = 64):
+    """Vectorized bucket tag for keyed group UDFs: groupby(bucket) keeps
+    Ray's group count O(n_buckets) while the in-group pandas groupby handles
+    the raw high-cardinality key — the bucketed-group-UDF shape used
+    throughout this engine (a raw-key groupby pays Ray per-group overhead
+    per DISTINCT key)."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(
+                pc.cast(batch[col], pa.int64()), pa.scalar(n_buckets - 1)
+            ),
+            pa.int32(),
+        )
+        return batch.append_column("bucket", b)
+
+    return add
+
+
 def q_events_sessions(sf_dir: str, gap_minutes: int = 30):
     """Session windows (gap-based) per user over the ordered event log —
-    groupby(user_id) + in-group pandas windowing (ray_guide streaming shape)."""
+    bucketed groupby + vectorized in-bucket pandas windowing (one sorted
+    diff over the whole bucket, no per-user Python)."""
     ev = _read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts")
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        n_sessions = int(gaps.sum()) + 1
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [n_sessions],
-                "n_events": [len(g)],
-            }
+    def sessions(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = g["user_id"] != g["user_id"].shift()
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        g["new_session"] = (new_user | gap).astype("int64")
+        agg = g.groupby("user_id", sort=False).agg(
+            n_sessions=("new_session", "sum"), n_events=("ts", "size")
         )
+        return agg.reset_index()[["user_id", "n_sessions", "n_events"]]
 
-    out = ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = ev.map_batches(
+        _add_key_bucket("user_id"), batch_format="pyarrow"
+    ).groupby("bucket").map_groups(sessions, batch_format="pandas")
     df = out.to_pandas()
     df["n_sessions"] = df["n_sessions"].astype("int64")
     df["n_events"] = df["n_events"].astype("int64")
@@ -646,12 +666,20 @@ def q_orders_running_total(sf_dir: str):
     in-group sorted cumulative sum."""
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
 
-    def running(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["o_orderdate", "o_orderkey"])
-        g["running_total"] = g["o_totalprice"].cumsum().round(2)
+    def running(part: pd.DataFrame) -> pd.DataFrame:
+        # One sort + one grouped cumsum per bucket (vectorized over all
+        # customers in the bucket).
+        g = part.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        g["running_total"] = (
+            g.groupby("o_custkey", sort=False)["o_totalprice"].cumsum().round(2)
+        )
         return g[["o_orderkey", "o_custkey", "running_total"]]
 
-    return orders.groupby("o_custkey").map_groups(running, batch_format="pandas")
+    return orders.map_batches(
+        _add_key_bucket("o_custkey"), batch_format="pyarrow"
+    ).groupby("bucket").map_groups(running, batch_format="pandas")
 
 
 SQL_ORDERS_RUNNING_TOTAL = """
@@ -667,13 +695,18 @@ def q_top_orders_per_customer(sf_dir: str, k: int = 3):
     """Top-k per group (row_number window shape)."""
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
-        g = g.copy()
-        g["rank"] = range(1, len(g) + 1)
+    def topk(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        g["rank"] = g.groupby("o_custkey", sort=False).cumcount() + 1
+        g = g[g["rank"] <= k]
         return g[["o_custkey", "o_orderkey", "rank"]]
 
-    out = orders.groupby("o_custkey").map_groups(topk, batch_format="pandas")
+    out = orders.map_batches(
+        _add_key_bucket("o_custkey"), batch_format="pyarrow"
+    ).groupby("bucket").map_groups(topk, batch_format="pandas")
     df = out.to_pandas()
     df["rank"] = df["rank"].astype("int64")
     return df

@@ -381,26 +381,40 @@ class ElStage(_ShardingMixin):
             )
             has_cands_all = [{c.id for c in cs} != {NIL} for cs in cands_all]
 
-            # Shard-fit probe renders with the candidate shard's OWN
+            # Shard-fit probe accounts for the candidate shard's OWN
             # mention/candidate block (mentions wholly inside
             # [offset, offset+len)) — the reference sizes the fully rendered
             # prompt because entity descriptions are injected after text
             # slicing (tasks/util/sharding.py:42-60); an empty-block probe
-            # under-counts and can overflow the context.
-            def probe(st, i, n, off, _m=mentions, _c=cands_all,
-                      _h=has_cands_all):
-                hi = off + len(st)
-                incl = [
-                    j for j, m in enumerate(_m)
-                    if _h[j] and m["start_char"] >= off and m["end_char"] <= hi
-                ]
-                return el_v1_prompt(
-                    st,
-                    [_m[j]["text"] for j in incl],
-                    [[c.id for c in _c[j]] for j in incl],
-                    [[c.description for c in _c[j]] for j in incl],
-                    examples=self._examples, i_shard=i, n_shards=n,
+            # under-counts and can overflow the context. Token counts are
+            # whitespace-additive, so each mention's block contribution is
+            # precomputed ONCE per doc and the probe appends an
+            # equal-token filler instead of re-formatting candidate lines
+            # on every fit check.
+            block_tokens = []
+            for j, m in enumerate(mentions):
+                if not has_cands_all[j]:
+                    block_tokens.append(0)
+                    continue
+                cands_line = "; ".join(
+                    f"{c.id} ({c.description})" for c in cands_all[j]
                 )
+                line = f"- *{m['text']}*: candidates: {cands_line}"
+                piece = f"*{m['text']}*,"
+                block_tokens.append(len(line.split()) + len(piece.split()))
+
+            def probe(st, i, n, off, _m=mentions, _bt=block_tokens):
+                hi = off + len(st)
+                k = sum(
+                    _bt[j]
+                    for j, m in enumerate(_m)
+                    if m["start_char"] >= off and m["end_char"] <= hi
+                )
+                base = el_v1_prompt(
+                    st, [], [], [], examples=self._examples,
+                    i_shard=i, n_shards=n,
+                )
+                return base + " x" * k if k else base
 
             shards = self._shard_mapper(
                 text, tokens, self._context_length, probe,
