@@ -209,9 +209,32 @@ _NORMALIZERS: Dict[str, Callable[[str], str]] = {
     "spacy.LowercaseNormalizer.v1": _norm.lowercase_normalizer,
 }
 
+def _fewshot_reader_factory(path):
+    from . import readers
+
+    return readers.fewshot_reader(path)
+
+
+def _file_reader_factory(path):
+    from . import readers
+
+    return readers.file_reader(path)
+
+
+def _kb_file_loader_factory(path):
+    from . import kb as kbmod
+
+    return kbmod.kb_from_yaml(path)
+
+
 _MISC: Dict[str, Callable] = {
     "spacy.NTokenEstimator.v1": lambda: _sharding.count_tokens_by_spaces,
     "spacy.ShardMapper.v1": _sharding.make_shard_mapper,
+    # Reader/loader names the reference registers under @misc / @llm_misc
+    # (registry/reader.py, tasks/entity_linker/registry.py).
+    "spacy.FewShotReader.v1": _fewshot_reader_factory,
+    "spacy.FileReader.v1": _file_reader_factory,
+    "spacy.KBFileLoader.v1": _kb_file_loader_factory,
 }
 
 

@@ -169,3 +169,13 @@ def test_builder_seam_with_ner_stage():
 def test_builder_rejects_unknown():
     with pytest.raises(ValueError, match="unknown template"):
         prompts.builder("nope.v9")
+
+
+NER_V3_ZEROSHOT_SNAPSHOT = 'You are an expert Named Entity Recognition (NER) system.\nYour task is to accept Text as input and extract named entities.\nEntities must have one of the following labels: PERSON, GPE.\nIf a span is not an entity label it: `==NONE==`.\n\n\nHere is an example of the output format for a paragraph using different labels than this task requires.\nOnly use this output format but use the labels provided\nabove instead of the ones defined in the example below.\nDo not output anything besides entities in this output format.\nOutput entities in the order they occur in the input paragraph regardless of label.\n\nQ: Given the paragraph below, identify a list of entities, and for each entry explain why it is or is not an entity:\n\nParagraph: Sriracha sauce goes really well with hoisin stir fry, but you should add it after you use the wok.\nAnswer:\n1. Sriracha sauce | True | INGREDIENT | is an ingredient to add to a stir fry\n2. really well | False | ==NONE== | is a description of how well sriracha sauce goes with hoisin stir fry\n3. hoisin stir fry | True | DISH | is a dish with stir fry vegetables and hoisin sauce\n4. wok | True | EQUIPMENT | is a piece of cooking equipment used to stir fry ingredients\n\nParagraph: Alice visits Boston.\nAnswer:'
+
+
+def test_ner_v3_zeroshot_snapshot_offline():
+    """Full-text snapshot of the zero-shot ner.v3 prompt (the reference's
+    exact wording), independent of any reference checkout."""
+    fn = builder("ner.v3", labels=["PERSON", "GPE"])
+    assert fn("Alice visits Boston.") == NER_V3_ZEROSHOT_SNAPSHOT
