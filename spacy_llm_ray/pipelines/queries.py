@@ -359,7 +359,10 @@ def q_q3_top_orders(sf_dir: str):
 
     import ray as _ray
 
-    n_parts = max(8, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    # Hash-join partition count: per-partition aggregator overhead is fixed
+    # (~0.1s each), so track cores/4 on one node; at cluster scale this
+    # should instead track input bytes / target partition size.
+    n_parts = max(4, int(_ray.cluster_resources().get("CPU", 8)) // 4)
     joined = li.join(
         orders,
         join_type="inner",
@@ -421,7 +424,7 @@ def q_revenue_by_nation(sf_dir: str):
         )
     )
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 4)
     joined = orders.join(
         cust,
         join_type="inner",
