@@ -57,3 +57,88 @@ def triple_prf(
     recall = tp / len(g) if g else 0.0
     f = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
     return {"p": precision, "r": recall, "f": f, "tp": tp, "n_pred": len(p), "n_gold": len(g)}
+
+
+def lemma_accuracy(
+    pred_pairs: Iterable[Sequence[Sequence[str]]],
+    gold_pairs: Iterable[Sequence[Sequence[str]]],
+) -> Dict[str, float]:
+    """Token-attribute accuracy for lemmas (reference lemma score ==
+    ``Scorer.score_token_attr(examples, "lemma")``, tasks/lemma/util.py:23-28).
+    Inputs: per-doc lists of (token, lemma) pairs."""
+    total = correct = 0
+    for pred, gold in zip(pred_pairs, gold_pairs):
+        gold_map = {i: g[1] for i, g in enumerate(gold)}
+        for i, p in enumerate(pred):
+            total += 1
+            if gold_map.get(i) == p[1]:
+                correct += 1
+    return {"lemma_acc": correct / total if total else 0.0}
+
+
+def sentiment_accuracy(
+    pred: Sequence[float], gold: Sequence[float]
+) -> Dict[str, float]:
+    """1 - mean absolute difference (reference sentiment score,
+    tasks/sentiment/util.py:51-64)."""
+    diffs = [abs(p - g) for p, g in zip(pred, gold)]
+    return {
+        "acc_sentiment": 1.0 - (sum(diffs) / len(diffs)) if diffs else 0.0
+    }
+
+
+def textcat_score(
+    pred_cats: Sequence[Dict[str, float]],
+    gold_cats: Sequence[Dict[str, float]],
+    labels: Sequence[str],
+    multi_label: bool = False,
+    threshold: float = 0.5,
+) -> Dict[str, float]:
+    """Compact ``Scorer.score_cats`` analog (reference textcat score,
+    tasks/textcat/util.py:41-52): per-label P/R/F at the threshold, macro F,
+    micro P/R/F, plus exclusive-classes accuracy (argmax) when not
+    multi_label."""
+    tp: Dict[str, int] = {l: 0 for l in labels}
+    fp: Dict[str, int] = {l: 0 for l in labels}
+    fn: Dict[str, int] = {l: 0 for l in labels}
+    n_correct = 0
+    for p, g in zip(pred_cats, gold_cats):
+        if multi_label:
+            for l in labels:
+                pv = p.get(l, 0.0) >= threshold
+                gv = g.get(l, 0.0) >= threshold
+                if pv and gv:
+                    tp[l] += 1
+                elif pv:
+                    fp[l] += 1
+                elif gv:
+                    fn[l] += 1
+        else:
+            p_arg = max(labels, key=lambda l: p.get(l, 0.0))
+            g_arg = max(labels, key=lambda l: g.get(l, 0.0))
+            if p_arg == g_arg:
+                n_correct += 1
+                tp[p_arg] += 1
+            else:
+                fp[p_arg] += 1
+                fn[g_arg] += 1
+
+    def prf(t, f_p, f_n):
+        p = t / (t + f_p) if t + f_p else 0.0
+        r = t / (t + f_n) if t + f_n else 0.0
+        f = 2 * p * r / (p + r) if p + r else 0.0
+        return p, r, f
+
+    out: Dict[str, float] = {}
+    fsum = 0.0
+    for l in labels:
+        p, r, f = prf(tp[l], fp[l], fn[l])
+        out[f"cats_f_per_type_{l}"] = f
+        fsum += f
+    out["cats_macro_f"] = fsum / len(labels) if labels else 0.0
+    mp, mr, mf = prf(sum(tp.values()), sum(fp.values()), sum(fn.values()))
+    out["cats_micro_p"], out["cats_micro_r"], out["cats_micro_f"] = mp, mr, mf
+    if not multi_label:
+        n = len(list(pred_cats))
+        out["cats_accuracy"] = n_correct / n if n else 0.0
+    return out

@@ -188,3 +188,33 @@ def test_multimodal_real_codecs(ray_session):
     with _pytest.raises(NotImplementedError):
         ImageDecodeStage(strict=True)(make_unknown)
     assert frame_sample_indices(10, 3) == [0, 3, 6, 9]
+
+
+def test_task_scorers():
+    from spacy_llm_ray.scoring import (
+        lemma_accuracy,
+        sentiment_accuracy,
+        textcat_score,
+    )
+
+    acc = lemma_accuracy(
+        [[("ran", "run"), ("dogs", "dog")]],
+        [[("ran", "run"), ("dogs", "dogs")]],
+    )
+    assert acc["lemma_acc"] == 0.5
+
+    s = sentiment_accuracy([0.9, 0.5], [1.0, 0.5])
+    assert abs(s["acc_sentiment"] - 0.95) < 1e-9
+
+    out = textcat_score(
+        [{"A": 1.0, "B": 0.0}, {"A": 0.0, "B": 1.0}, {"A": 1.0, "B": 0.0}],
+        [{"A": 1.0, "B": 0.0}, {"A": 0.0, "B": 1.0}, {"A": 0.0, "B": 1.0}],
+        labels=["A", "B"],
+    )
+    assert out["cats_accuracy"] == 2 / 3
+    assert 0 < out["cats_macro_f"] < 1
+    multi = textcat_score(
+        [{"A": 0.9, "B": 0.9}], [{"A": 1.0, "B": 0.0}],
+        labels=["A", "B"], multi_label=True,
+    )
+    assert multi["cats_micro_p"] == 0.5 and multi["cats_micro_r"] == 1.0
