@@ -928,6 +928,54 @@ FROM documents d LEFT JOIN group_map g USING (doc_id)
 """.format(perms=_minhash_perm_values())
 
 
+def q_docs_dup_spans(sf_dir: str):
+    """Cross-document duplicated-substring detection: every 8-word window is
+    rolling-hash fingerprinted; a window is duplicated when its fingerprint
+    appears in >= 2 distinct docs. Per-doc (n_windows, n_dup_windows)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_mod.duplicate_span_stats(ds, window=8)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_windows": t["n_windows"].cast(pa.int64()),
+                "n_dup_windows": t["n_dup_windows"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+# Independent SQL recomputation comparing window STRINGS directly (the
+# engine compares 61-bit rolling fingerprints; equality of strings and of
+# fingerprints coincide barring astronomically unlikely collisions, which
+# the value-hash gate would surface).
+SQL_DOCS_DUP_SPANS = """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS ws
+  FROM documents
+),
+win AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+    ELSE list_transform(range(1, len(ws) - 6),
+                        i -> array_to_string(list_slice(ws, i, i + 7), ' '))
+    END) AS w
+  FROM words
+),
+dup AS (
+  SELECT w FROM (SELECT w, count(DISTINCT doc_id) AS c FROM win GROUP BY w)
+  WHERE c >= 2
+)
+SELECT doc_id, count(*) AS n_windows,
+       CAST(sum(CASE WHEN w IN (SELECT w FROM dup) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_windows
+FROM win GROUP BY doc_id
+"""
+
+
 def q_docs_simhash(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
@@ -1391,6 +1439,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "docs_rolling_fp": (q_docs_rolling_fp, SQL_DOCS_ROLLING_FP),
     "docs_minhash_dedup": (q_docs_minhash_dedup, SQL_DOCS_MINHASH_DEDUP),
     "docs_simhash": (q_docs_simhash, SQL_DOCS_SIMHASH),
+    "docs_dup_spans": (q_docs_dup_spans, SQL_DOCS_DUP_SPANS),
     # embeddings
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_COSINE_TOPK),

@@ -27,6 +27,7 @@ from typing import Dict, List, Set, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
@@ -497,3 +498,119 @@ def embedding_neardup_pairs(
         )
 
     return with_bucket.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+
+# --------------------------------------------- duplicated-substring spans
+
+class DupSpanStage:
+    """Cross-document duplicated-substring detection (the exact-substring
+    dedup family of training-data pipelines, cf. suffix-array dedup in
+    "Deduplicating Training Data Makes Language Models Better"): every
+    ``window``-word span is fingerprinted with an O(n) Rabin-Karp rolling
+    hash (identical values to ``textstats.hash_words`` per window), and a
+    span is *duplicated* when its fingerprint occurs in >= 2 distinct
+    documents. Stage emits one (doc_id, win_hash) row per window position;
+    downstream: bucket groupby marks cross-doc hashes, then a hash
+    aggregate sums per-doc counts — no driver materialization anywhere.
+
+    Stateful actor: the per-word md5 hash cache persists across batches.
+    """
+
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+
+    def __init__(self, window: int = 8, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self._k = window
+        self._text_col = text_col
+        self._id_col = id_col
+        self._powk = pow(self.BASE, window - 1, self.MOD)
+        self._word_hash: Dict[str, int] = {}
+
+    def _wh(self, w: str) -> int:
+        h = self._word_hash.get(w)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            self._word_hash[w] = h
+        return h
+
+    def window_hashes(self, text: str) -> List[int]:
+        words = text.split()
+        k, mod, base = self._k, self.MOD, self.BASE
+        whs = [self._wh(w) for w in words]
+        if len(words) < k:
+            h = 0
+            for x in whs:
+                h = (h * base + x) % mod
+            return [h]
+        h = 0
+        for x in whs[:k]:
+            h = (h * base + x) % mod
+        out = [h]
+        for i in range(1, len(words) - k + 1):
+            h = ((h - whs[i - 1] * self._powk) * base + whs[i + k - 1]) % mod
+            out.append(h)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for d, t in zip(
+            batch[self._id_col].to_pylist(), batch[self._text_col].to_pylist()
+        ):
+            ws = self.window_hashes(t)
+            ids.extend([d] * len(ws))
+            hashes.extend(ws)
+        return pa.table(
+            {
+                self._id_col: pa.array(ids),
+                "win_hash": pa.array(hashes, type=pa.int64()),
+            }
+        )
+
+
+def duplicate_span_stats(
+    docs_ds,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Per-document duplicated-span statistics -> Dataset of
+    (doc_id, n_windows, n_dup_windows). Combiner shape: window rows ->
+    bucket groupby (hashes co-locate) -> per-doc partials -> hash aggregate."""
+    from ray.data.aggregate import Sum
+
+    rows = docs_ds.map_batches(
+        DupSpanStage,
+        fn_constructor_kwargs=dict(window=window, text_col=text_col,
+                                   id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(batch["win_hash"], pa.scalar(n_buckets - 1)),
+            pa.int32(),
+        )
+        return batch.append_column("bucket", b)
+
+    def partials(part: pd.DataFrame) -> pd.DataFrame:
+        docs_per_hash = part.groupby("win_hash")[id_col].nunique()
+        dup_hashes = set(docs_per_hash[docs_per_hash >= 2].index)
+        part = part.assign(is_dup=part["win_hash"].isin(dup_hashes))
+        agg = part.groupby(id_col, sort=False).agg(
+            dup_partial=("is_dup", "sum"), total_partial=("is_dup", "size")
+        )
+        return agg.reset_index()[[id_col, "dup_partial", "total_partial"]]
+
+    return (
+        rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(partials, batch_format="pandas")
+        .groupby(id_col)
+        .aggregate(
+            Sum("total_partial", alias_name="n_windows"),
+            Sum("dup_partial", alias_name="n_dup_windows"),
+        )
+    )

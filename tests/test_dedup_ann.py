@@ -192,3 +192,26 @@ def test_simhash_batch_parity_and_neardup_pairs(ray_session):
     assert not any(3 in p for p in pairs)
     ham01 = out[(out.a == 0) & (out.b == 1)].hamming.iloc[0]
     assert ham01 == 0
+
+
+def test_duplicate_span_stats(ray_session):
+    import ray.data
+
+    from spacy_llm_ray.stages.dedup import duplicate_span_stats
+
+    shared = "one two three four five six seven eight"  # exactly 8 words
+    rows = [
+        {"doc_id": 0, "text": f"{shared} alpha beta gamma delta eps zeta"},
+        {"doc_id": 1, "text": f"intro words here {shared} trailing txt"},
+        {"doc_id": 2, "text": "nothing in common with anyone at all here now"},
+    ]
+    ds = ray.data.from_items(rows)
+    out = duplicate_span_stats(ds, window=8).to_pandas().set_index("doc_id")
+    # Both docs containing the shared 8-gram report >= 1 duplicated window;
+    # the unrelated doc reports 0.
+    assert out.loc[0, "n_dup_windows"] >= 1
+    assert out.loc[1, "n_dup_windows"] >= 1
+    assert out.loc[2, "n_dup_windows"] == 0
+    # Window counts: len(words) - 8 + 1.
+    assert out.loc[0, "n_windows"] == 14 - 8 + 1
+    assert out.loc[2, "n_windows"] == 9 - 8 + 1
