@@ -928,6 +928,24 @@ FROM documents d LEFT JOIN group_map g USING (doc_id)
 """.format(perms=_minhash_perm_values())
 
 
+def q_docs_bpe_tokens(sf_dir: str):
+    """BPE-ish token counting (GPT-2-style pre-tokenizer splits) alongside
+    the whitespace estimator."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        textstats.bpe_token_count_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_bpe_tokens"])
+
+
+_BPE_SQL_PAT = textstats.BPE_SPLIT_PATTERN.replace("'", "''")
+SQL_DOCS_BPE_TOKENS = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_docs_dup_spans(sf_dir: str):
     """Cross-document duplicated-substring detection: every 8-word window is
     rolling-hash fingerprinted; a window is duplicated when its fingerprint
@@ -1440,6 +1458,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "docs_minhash_dedup": (q_docs_minhash_dedup, SQL_DOCS_MINHASH_DEDUP),
     "docs_simhash": (q_docs_simhash, SQL_DOCS_SIMHASH),
     "docs_dup_spans": (q_docs_dup_spans, SQL_DOCS_DUP_SPANS),
+    "docs_bpe_tokens": (q_docs_bpe_tokens, SQL_DOCS_BPE_TOKENS),
     # embeddings
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_COSINE_TOPK),

@@ -118,3 +118,32 @@ class LangIdStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds = [self._predict(t) for t in batch[self._text_col].to_pylist()]
         return batch.append_column(self._out_col, pa.array(preds))
+
+
+# GPT-2-style pre-tokenizer split pattern, lookahead-free so the identical
+# pattern runs in both Python `regex` and DuckDB's RE2 (the original GPT-2
+# pattern's `\s+(?!\S)` branch needs lookahead; dropping it merges trailing
+# whitespace runs into single tokens — a BPE-ish approximation, stated as
+# such). Unicode letter/number classes included.
+BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+try:
+    import regex as _regex
+
+    _BPE_RE = _regex.compile(BPE_SPLIT_PATTERN)
+except ImportError:  # pragma: no cover — regex ships with this environment
+    _BPE_RE = None
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-ish token count: GPT-2-style pre-tokenizer splits (contractions,
+    letter runs, number runs, punctuation runs, whitespace runs) — the
+    standard cheap LLM-token estimator when no tokenizer model is loaded."""
+    if _BPE_RE is None:
+        raise RuntimeError("the `regex` package is required for BPE counting")
+    counts = [
+        len(_BPE_RE.findall(t)) for t in batch[text_col].to_pylist()
+    ]
+    return batch.append_column(
+        "n_bpe_tokens", pa.array(counts, type=pa.int64())
+    )

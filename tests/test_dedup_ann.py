@@ -215,3 +215,14 @@ def test_duplicate_span_stats(ray_session):
     # Window counts: len(words) - 8 + 1.
     assert out.loc[0, "n_windows"] == 14 - 8 + 1
     assert out.loc[2, "n_windows"] == 9 - 8 + 1
+
+
+def test_bpe_token_count():
+    import pyarrow as pa
+
+    from spacy_llm_ray.stages.textstats import bpe_token_count_batch
+
+    out = bpe_token_count_batch(
+        pa.table({"text": ["Hello world, it's 2026!", "", "x"]})
+    )
+    assert out["n_bpe_tokens"].to_pylist() == [7, 0, 1]
