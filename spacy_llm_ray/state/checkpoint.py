@@ -86,6 +86,7 @@ def run_partitioned_kg(
     batch_size: int = 64,
     fail_after_partitions: Optional[int] = None,
     n_shards_per_partition: int = 1,
+    unit_parallelism: int = 1,
 ) -> Dict:
     """Run the KG pipeline with per-partition checkpointing; returns a summary
     {completed, skipped, out_dir}. ``fail_after_partitions`` injects a crash
@@ -147,65 +148,120 @@ def run_partitioned_kg(
     pool = kg._pool()
     n_sh = max(1, n_shards_per_partition)
     n_units = n_partitions * n_sh
+
+    # Phase 0: partition the INPUT once (one streaming read + one
+    # partitioned write). Without this every unit re-scans the whole input
+    # — O(N x units) read amplification, catastrophic at 100 TB; with it
+    # each unit reads exactly its 1/n_units slice. The layout is part of
+    # the checkpoint (deterministic; reused on resume, rebuilt only if
+    # missing or keyed differently).
+    input_dir = os.path.join(out_dir, f"_input_units={n_units}")
+    if not os.path.exists(os.path.join(input_dir, "_DONE")):
+        shutil.rmtree(input_dir, ignore_errors=True)
+
+        def add_unit(batch: pa.Table) -> pa.Table:
+            units = [
+                _partition_of(c, n_units)
+                for c in batch["conv_id"].to_pylist()
+            ]
+            return batch.append_column(
+                "unit", pa.array(units, type=pa.int32())
+            ).replace_schema_metadata(None)
+
+        tmp_in = input_dir + ".tmp"
+        shutil.rmtree(tmp_in, ignore_errors=True)
+        ray.data.read_parquet(
+            f"{data_dir}/transcripts.parquet",
+            columns=["conv_id", "turn_idx", "role", "text"],
+        ).map_batches(add_unit, batch_format="pyarrow").write_parquet(
+            tmp_in, partition_cols=["unit"]
+        )
+        os.rename(tmp_in, input_dir)
+        with open(os.path.join(input_dir, "_DONE"), "w") as f:
+            f.write("ok")
+
     completed, skipped = [], []
+
+    def run_unit(part: int, shard: int, unit_pool) -> None:
+        unit = part * n_sh + shard
+        t0 = time.monotonic()
+        unit_path = os.path.join(input_dir, f"unit={unit}")
+        if os.path.isdir(unit_path):
+            ds = ray.data.read_parquet(
+                unit_path, columns=["conv_id", "turn_idx", "role", "text"]
+            )
+            # Row count from parquet footers (no data scan).
+            n_turns = sum(
+                pq.read_metadata(os.path.join(unit_path, f)).num_rows
+                for f in os.listdir(unit_path)
+                if f.endswith(".parquet")
+            )
+        else:  # no conversations hashed into this unit
+            ds = ray.data.from_arrow(
+                pa.table(
+                    {"conv_id": pa.array([], type=pa.string()),
+                     "turn_idx": pa.array([], type=pa.int32()),
+                     "role": pa.array([], type=pa.string()),
+                     "text": pa.array([], type=pa.string())}
+                )
+            )
+            n_turns = 0
+        docs = assemble_documents(ds, max_doc_turns=kg.MAX_DOC_TURNS)
+        triples = docs.map_batches(
+            KGStage,
+            fn_constructor_kwargs=dict(
+                ner_kwargs=dict(labels=kg.LABELS_NER, model=models["ner"]),
+                rel_kwargs=dict(labels=kg.LABELS_REL, model=models["rel"]),
+                el_kwargs=dict(kb=kb_ref, model=models["el"]),
+            ),
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=unit_pool, num_cpus=1,
+        )
+
+        tmp = os.path.join(raw_dir, f".tmp-{unit}-{uuid.uuid4().hex[:8]}")
+        final = os.path.join(raw_dir, f"part={part}")
+        if n_sh > 1:
+            final = os.path.join(final, f"shard={shard}")
+        triples.write_parquet(tmp)
+        n_triples = sum(
+            pq.read_metadata(os.path.join(tmp, f)).num_rows
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet")
+        )
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        os.rename(tmp, final)
+
+        rec = {
+            "partition": part,
+            "shard": shard,
+            "config_hash": cfg_hash,
+            "n_turns": int(n_turns),
+            "n_triples": int(n_triples),
+            "duration_s": round(time.monotonic() - t0, 3),
+        }
+        rec_path = os.path.join(
+            lineage_dir, f"part-{part:05d}-{shard:03d}.json"
+        )
+        tmp_rec = rec_path + ".tmp"
+        with open(tmp_rec, "w") as f:
+            json.dump(rec, f)
+        os.rename(tmp_rec, rec_path)
+
+    todo = []
     for part in range(n_partitions):
         for shard in range(n_sh):
             if (part, shard) in manifest:
                 skipped.append(part if n_sh == 1 else (part, shard))
-                continue
-            unit = part * n_sh + shard
-            t0 = time.monotonic()
-            ds = ray.data.read_parquet(
-                f"{data_dir}/transcripts.parquet",
-                columns=["conv_id", "turn_idx", "role", "text"],
-            ).map_batches(
-                _make_partition_filter(unit, n_units), batch_format="pyarrow"
-            )
-            n_turns = ds.count()  # cheap column scan; recorded in lineage
-            docs = assemble_documents(ds, max_doc_turns=kg.MAX_DOC_TURNS)
-            triples = docs.map_batches(
-                KGStage,
-                fn_constructor_kwargs=dict(
-                    ner_kwargs=dict(labels=kg.LABELS_NER, model=models["ner"]),
-                    rel_kwargs=dict(labels=kg.LABELS_REL, model=models["rel"]),
-                    el_kwargs=dict(kb=kb_ref, model=models["el"]),
-                ),
-                batch_format="pyarrow", batch_size=batch_size,
-                concurrency=pool, num_cpus=1,
-            )
+            else:
+                todo.append((part, shard))
 
-            tmp = os.path.join(raw_dir, f".tmp-{unit}-{uuid.uuid4().hex[:8]}")
-            final = os.path.join(raw_dir, f"part={part}")
-            if n_sh > 1:
-                final = os.path.join(final, f"shard={shard}")
-            triples.write_parquet(tmp)
-            n_triples = sum(
-                pq.read_metadata(os.path.join(tmp, f)).num_rows
-                for f in os.listdir(tmp)
-                if f.endswith(".parquet")
-            )
-            if os.path.exists(final):
-                shutil.rmtree(final)
-            os.makedirs(os.path.dirname(final), exist_ok=True)
-            os.rename(tmp, final)
-
-            rec = {
-                "partition": part,
-                "shard": shard,
-                "config_hash": cfg_hash,
-                "n_turns": int(n_turns),
-                "n_triples": int(n_triples),
-                "duration_s": round(time.monotonic() - t0, 3),
-            }
-            rec_path = os.path.join(
-                lineage_dir, f"part-{part:05d}-{shard:03d}.json"
-            )
-            tmp_rec = rec_path + ".tmp"
-            with open(tmp_rec, "w") as f:
-                json.dump(rec, f)
-            os.rename(tmp_rec, rec_path)
+    if unit_parallelism <= 1 or fail_after_partitions is not None:
+        # Sequential (also the fail-injection path: deterministic order).
+        for part, shard in todo:
+            run_unit(part, shard, pool)
             completed.append(part if n_sh == 1 else (part, shard))
-
             if (
                 fail_after_partitions is not None
                 and len(completed) >= fail_after_partitions
@@ -213,6 +269,53 @@ def run_partitioned_kg(
                 raise RuntimeError(
                     f"injected failure after {len(completed)} units"
                 )
+    else:
+        # Concurrent unit jobs from driver threads: per-unit fixed costs
+        # (actor-pool spin-up, shuffle barriers, write) overlap. Each unit
+        # commits independently (own output dir + lineage record), so
+        # failure/resume semantics are unchanged. On a real cluster, units
+        # run as separate driver jobs instead — this is the single-box
+        # stand-in. Pool is split so units don't oversubscribe the CPUs.
+        from concurrent.futures import ThreadPoolExecutor, as_completed
+
+        # fsspec.implementations.http fails to import here (no aiohttp);
+        # Ray retries that import inside EVERY read_parquet and tolerates
+        # it sequentially, but concurrent retries from driver threads race
+        # into partially-initialized-module ImportErrors that Ray does not
+        # catch. Pin a stub module once: imports become a sys.modules hit
+        # (race-free), and Ray's isinstance check against the placeholder
+        # class is trivially False for local filesystems.
+        import sys
+        import types
+
+        try:
+            import fsspec.implementations.http  # noqa: F401
+        except ImportError:
+            stub = types.ModuleType("fsspec.implementations.http")
+
+            class _NoHTTPFileSystem:  # placeholder for isinstance checks
+                pass
+
+            stub.HTTPFileSystem = _NoHTTPFileSystem
+            sys.modules["fsspec.implementations.http"] = stub
+
+        # Each concurrent unit needs headroom beyond its actor pool (read/
+        # write/shuffle tasks); on small clusters concurrent units starve
+        # each other, so require >= 4 CPUs per in-flight unit.
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        k = max(1, min(unit_parallelism, len(todo), cpus // 4))
+        lo, hi = pool if isinstance(pool, tuple) else (pool, pool)
+        unit_pool = (max(1, lo // k), max(1, hi // k))
+        with ThreadPoolExecutor(max_workers=k) as ex:
+            futs = {
+                ex.submit(run_unit, part, shard, unit_pool): (part, shard)
+                for part, shard in todo
+            }
+            for fut in as_completed(futs):
+                fut.result()  # propagate the first failure
+                part, shard = futs[fut]
+                completed.append(part if n_sh == 1 else (part, shard))
+        completed.sort()
 
     # Phase 2: global canonicalization + dedup over all raw partitions.
     raw_files = [

@@ -115,3 +115,17 @@ def test_subpartition_shard_resume(sf_dir, tmp_path_factory):
     assert summary["skipped"] == [(0, 0), (0, 1), (1, 0)]
     assert summary["completed"] == [(1, 1)]
     assert _load_triples(out_a) == _load_triples(out_b)
+
+
+def test_concurrent_units_match_sequential(sf_dir, tmp_path_factory):
+    """unit_parallelism overlaps per-unit fixed costs; output must be
+    byte-identical to the sequential run."""
+    out_a = str(tmp_path_factory.mktemp("kg_seq"))
+    out_b = str(tmp_path_factory.mktemp("kg_par"))
+    run_partitioned_kg(sf_dir, out_a, n_partitions=2, n_shards_per_partition=2)
+    summary = run_partitioned_kg(
+        sf_dir, out_b, n_partitions=2, n_shards_per_partition=2,
+        unit_parallelism=4,
+    )
+    assert sorted(summary["completed"]) == [(0, 0), (0, 1), (1, 0), (1, 1)]
+    assert _load_triples(out_a) == _load_triples(out_b)
