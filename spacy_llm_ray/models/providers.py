@@ -287,7 +287,6 @@ class OpenAIProvider(RESTProvider):
                 for p in prompts
             ]
         # Non-chat endpoint accepts the whole batch in one request.
-        self._n_batch = len(prompts)
         return [{"prompt": prompts, **base}]
 
     def _extract(self, response: Dict[str, Any]) -> str:

@@ -452,9 +452,17 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    multiprobe: int = 0,
 ):
     """Near-duplicate (a, b, cos) pairs via random-hyperplane LSH buckets +
     exact cosine within bucket. Bucket groupby is the only shuffle.
+
+    ``multiprobe=m`` additionally assigns each vector to the ``m`` buckets
+    one bit-flip away with the smallest hyperplane margins (standard
+    multi-probe LSH): a near-dup pair split by one low-margin hyperplane
+    still meets in a probe bucket. Recall rises at the cost of (m+1)x rows
+    through the shuffle; duplicate pair emissions are deduped per bucket
+    group and the same (a, b) from different buckets is idempotent.
 
     ``n_planes=0`` degenerates to ONE bucket = exact all-pairs cosine —
     the oracle-checkable configuration (use only at test scale); pairs are
@@ -464,10 +472,21 @@ def embedding_neardup_pairs(
 
     def add_bucket(batch: pa.Table, planes=None) -> pa.Table:
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
-        signs = (vecs @ planes.T) > 0
+        margins = vecs @ planes.T  # (n, planes)
+        signs = margins > 0
         bucket = np.zeros(len(vecs), dtype=np.int64)
         for i in range(planes.shape[0]):
             bucket |= signs[:, i].astype(np.int64) << i
+        if multiprobe and planes.shape[0]:
+            # Probe buckets: flip the `multiprobe` lowest-|margin| bits.
+            order = np.argsort(np.abs(margins), axis=1)[:, :multiprobe]
+            reps = [batch.append_column("bucket", pa.array(bucket))]
+            for j in range(order.shape[1]):
+                flipped = bucket ^ (np.int64(1) << order[:, j].astype(np.int64))
+                reps.append(
+                    batch.append_column("bucket", pa.array(flipped))
+                )
+            return pa.concat_tables(reps)
         return batch.append_column("bucket", pa.array(bucket))
 
     # Deterministic planes; broadcast via closure capture (small).
@@ -480,7 +499,9 @@ def embedding_neardup_pairs(
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(id_col, kind="mergesort")
+        group = group.drop_duplicates(subset=[id_col]).sort_values(
+            id_col, kind="mergesort"
+        )
         ids = group[id_col].to_numpy()
         vecs = np.stack(group[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
@@ -497,7 +518,16 @@ def embedding_neardup_pairs(
             }
         )
 
-    return with_bucket.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = with_bucket.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    if not multiprobe:
+        return pairs
+    # Multi-probe can surface the same pair from several buckets: global
+    # distinct via per-'a' group dedup (bounded by pair count).
+    return pairs.groupby("a").map_groups(
+        lambda g: g.drop_duplicates(subset=["a", "b"]), batch_format="pandas"
+    )
 
 
 # --------------------------------------------- duplicated-substring spans

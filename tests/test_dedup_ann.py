@@ -226,3 +226,39 @@ def test_bpe_token_count():
         pa.table({"text": ["Hello world, it's 2026!", "", "x"]})
     )
     assert out["n_bpe_tokens"].to_pylist() == [7, 0, 1]
+
+
+def test_embedding_neardup_multiprobe_recall(ray_session):
+    """Multi-probe LSH recovers near-dup pairs that single-probe bucketing
+    splits across a low-margin hyperplane."""
+    import ray.data
+
+    from spacy_llm_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 32).astype(np.float32)
+    rows = []
+    truth = set()
+    vid = 0
+    for i in range(40):
+        rows.append({"vec_id": vid, "embedding": base[i].tolist()})
+        a = vid
+        vid += 1
+        # near-duplicate: tiny perturbation -> cosine ~0.999
+        dup = base[i] + 0.02 * rng.randn(32).astype(np.float32)
+        rows.append({"vec_id": vid, "embedding": dup.tolist()})
+        truth.add((a, vid))
+        vid += 1
+    ds = ray.data.from_items(rows)
+
+    def found(multiprobe):
+        out = embedding_neardup_pairs(
+            ds, threshold=0.97, n_planes=10, multiprobe=multiprobe
+        ).to_pandas()
+        return {(a, b) for a, b in zip(out["a"], out["b"])} & truth
+
+    single = found(0)
+    multi = found(3)
+    assert len(multi) >= len(single)
+    assert len(multi) / len(truth) > 0.8  # high recall with 3 probes
+    assert single <= multi  # probes only ADD candidate buckets
