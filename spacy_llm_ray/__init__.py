@@ -25,3 +25,5 @@ __version__ = "0.1.0"
 from .tokenizer import Token, Span, tokenize, char_span, filter_spans  # noqa: F401
 from .parsing import find_substrings, unique  # noqa: F401
 from .normalizers import lowercase_normalizer, strip_normalizer  # noqa: F401
+
+from .cfg_loader import assemble, build_pipeline, load_cfg  # noqa: E402,F401

@@ -249,3 +249,53 @@ def build_pipeline(source: Union[str, Path],
         "skipped": skipped,
         "config": cfg,
     }
+
+
+class AssembledPipeline:
+    """Runnable analog of the reference's assembled ``nlp`` object
+    (util.py:37-48): ordered LLM stages applied as chained ``map_batches``
+    over a Dataset. Accepts a ``ray.data.Dataset``, a ``pyarrow.Table`` or
+    a list of texts."""
+
+    def __init__(self, components: Dict[str, Any], order, skipped, config):
+        self.components = components
+        self.order = [n for n in order if n in components]
+        self.skipped = skipped
+        self.config = config
+
+    def __call__(self, data, batch_size: int = 64):
+        import pyarrow as pa_
+        import ray.data
+
+        if isinstance(data, list):
+            data = ray.data.from_arrow(
+                pa_.table({"doc_id": list(range(len(data))), "text": data})
+            )
+        elif isinstance(data, pa_.Table):
+            data = ray.data.from_arrow(data)
+        ds = data
+        for name in self.order:
+            # Stage objects are already-constructed callables, so they run
+            # as task-pool UDFs here; for actor-pool residency (model
+            # weights), call map_batches with the stage CLASS +
+            # fn_constructor_kwargs directly, as the engine pipelines do.
+            ds = ds.map_batches(
+                self.components[name],
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+        return ds
+
+
+def assemble(config_path: Union[str, Path], *,
+             overrides: Optional[Dict[str, Any]] = None,
+             models: Optional[Dict[str, Any]] = None) -> AssembledPipeline:
+    """Assemble a runnable pipeline from a spacy-llm .cfg file — the
+    reference's ``spacy_llm.assemble`` (util.py:37-48) re-expressed over Ray
+    Data. ``overrides`` maps dotted config paths (the reference's CLI
+    overrides); ``models`` injects model objects per component (e.g. a mock
+    or a transport-wired provider for offline runs)."""
+    built = build_pipeline(config_path, overrides=overrides, models=models)
+    return AssembledPipeline(
+        built["components"], built["order"], built["skipped"], built["config"]
+    )

@@ -245,3 +245,21 @@ def test_schema_chain_helper():
     validate_chain([ner, rel], ["conv_id", "text"])  # ok
     with pytest.raises(ValueError, match="stage 0 \\(RelStage\\)"):
         validate_chain([rel, ner], ["conv_id", "text"])
+
+
+def test_assemble_runs_pipeline_over_texts(ray_session):
+    """spacy_llm_ray.assemble(cfg) -> runnable pipeline object (the
+    reference's assemble() analog)."""
+    import spacy_llm_ray
+    from spacy_llm_ray.models.mock import MockNERModel
+
+    nlp = spacy_llm_ray.assemble(
+        NER_CFG,
+        models={"llm": MockNERModel({"garlic bread": "DISH"},
+                                    context_length=None)},
+    )
+    out = nlp(["I love garlic bread.", "nothing here"]).take_all()
+    assert len(out) == 2
+    ments = out[0]["mentions"]
+    assert [(m["text"], m["label"]) for m in ments] == [("garlic bread", "DISH")]
+    assert out[1]["mentions"] == []
