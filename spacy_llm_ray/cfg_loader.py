@@ -222,7 +222,11 @@ def build_pipeline(source: Union[str, Path],
         # EL candidate selector / KB from [initialize.components.<name>].
         init_comp = init_cfg.get(comp_name) or {}
         if "candidate_selector" in init_comp:
-            kb = _resolve_section(init_comp["candidate_selector"])
+            cs_raw = init_comp["candidate_selector"]
+            if isinstance(cs_raw, dict) and "top_n" in cs_raw:
+                # spacy.CandidateSelector.v1(top_n=...) -> ElStage top_n.
+                task_kwargs.setdefault("top_n", cs_raw["top_n"])
+            kb = _resolve_section(cs_raw)
             if kb is not None:
                 task_kwargs.setdefault("kb", kb)
 
