@@ -92,6 +92,10 @@ def _interpolate(node: Any, root: Dict[str, Any]):
                 m = _VAR_RE.fullmatch(v.strip())
                 if m:
                     node[i] = _lookup(root, m.group(1))
+                else:
+                    node[i] = _VAR_RE.sub(
+                        lambda mm: str(_lookup(root, mm.group(1))), v
+                    )
             else:
                 _interpolate(v, root)
 

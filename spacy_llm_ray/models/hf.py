@@ -220,8 +220,14 @@ class _CausalLMModel(HuggingFaceModel):
 
     def __call__(self, prompts: List[str]) -> List[str]:
         out: List[str] = []
+        device = getattr(self._model, "device", None)
         for prompt in prompts:
             inputs = self._tokenizer(prompt, return_tensors="pt")
+            # Move the tokenized batch to the model's device (the reference
+            # does tp.to(self._model.device), mistral.py:73-75) — without
+            # this, CPU input_ids against a cuda:0 model raise at generate.
+            if device is not None and hasattr(inputs, "to"):
+                inputs = inputs.to(device)
             generated = self._model.generate(
                 **inputs, **self._config_run
             )
@@ -257,6 +263,17 @@ class Mistral(_CausalLMModel):
     MODEL_NAMES = ("Mistral-7B-v0.1", "Mistral-7B-Instruct-v0.1")
     HF_ACCOUNT = "mistralai"
     CONTEXT_LENGTH = 8000
+
+    @property
+    def _is_instruct(self) -> bool:
+        return "instruct" in self._name.lower()
+
+    def __call__(self, prompts: List[str]) -> List[str]:
+        # Instruct variants need the tuned chat envelope
+        # (reference mistral.py:68): "<s>[INST] ... [/INST]".
+        if self._is_instruct:
+            prompts = [f"<s>[INST] {p} [/INST]" for p in prompts]
+        return super().__call__(prompts)
 
 
 class OpenLLaMA(_CausalLMModel):

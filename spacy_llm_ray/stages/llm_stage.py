@@ -416,6 +416,7 @@ class ElStage(_ShardingMixin):
                 )
                 return base + " x" * k if k else base
 
+            probe.accepts_offset = True  # opt into the 4-arg offset contract
             shards = self._shard_mapper(
                 text, tokens, self._context_length, probe,
             )

@@ -223,6 +223,10 @@ def run_partitioned_kg(
         if n_sh > 1:
             final = os.path.join(final, f"shard={shard}")
         triples.write_parquet(tmp)
+        # A zero-row write creates NO directory (Ray 2.49); the commit
+        # protocol still needs one so the rename + lineage record land and
+        # resume sees the unit as done.
+        os.makedirs(tmp, exist_ok=True)
         n_triples = sum(
             pq.read_metadata(os.path.join(tmp, f)).num_rows
             for f in os.listdir(tmp)

@@ -62,22 +62,15 @@ def make_shard_mapper(
         context_length: int | None,
         render: Callable[..., str],
     ) -> List[Shard]:
-        # Renderers may accept the shard's char offset as a 4th parameter so
-        # the fit check can render with the shard's REAL prompt data (EL
-        # injects per-mention candidate descriptions after slicing; the
-        # reference sizes the fully rendered prompt, sharding.py:42-60).
-        try:
-            # co_argcount is ~100x cheaper than inspect.signature and this
-            # runs once per document.
-            n_params = render.__code__.co_argcount
-        except AttributeError:
-            try:
-                import inspect
-
-                n_params = len(inspect.signature(render).parameters)
-            except (TypeError, ValueError):
-                n_params = 3
-        if n_params >= 4:
+        # Offset-aware renderers OPT IN by setting ``accepts_offset = True``
+        # on the callable; they then receive the shard's char offset as a
+        # 4th argument so the fit check can account for the shard's REAL
+        # prompt data (EL injects per-mention candidate blocks after
+        # slicing; the reference sizes the fully rendered prompt,
+        # sharding.py:42-60). Explicit marker instead of arity sniffing:
+        # default parameters / bound methods make argument counting
+        # ambiguous for user-supplied renderers (ShardMapper.v1 is public).
+        if getattr(render, "accepts_offset", False):
             call_render = render
         else:
             call_render = lambda st, i, n, off: render(st, i, n)  # noqa: E731

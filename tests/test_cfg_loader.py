@@ -110,8 +110,7 @@ def test_build_rel_pipeline_with_model_injection():
     stage = out["components"]["llm_rel"]
     assert isinstance(stage, RelStage)
     # comma-separated bare labels split like the reference's split_labels.
-    assert set(stage._cfg.labels if hasattr(stage, "_cfg") else
-               getattr(stage, "_labels", [])) >= {"LivesIn", "Visits"} or True
+    assert set(stage._labels) == {"LivesIn", "Visits"}
 
 
 def test_build_el_pipeline_with_kb(tmp_path, monkeypatch):
@@ -263,3 +262,14 @@ def test_assemble_runs_pipeline_over_texts(ray_session):
     ments = out[0]["mentions"]
     assert [(m["text"], m["label"]) for m in ments] == [("garlic bread", "DISH")]
     assert out[1]["mentions"] == []
+
+
+def test_interpolation_inside_list_elements():
+    cfg = load_cfg("""
+[vars]
+prefix = "KG"
+
+[x]
+labels = ["${vars.prefix}-PER", "${vars.prefix}-ORG"]
+""")
+    assert cfg["x"]["labels"] == ["KG-PER", "KG-ORG"]

@@ -134,3 +134,22 @@ def test_el_shard_probe_accounts_for_candidate_block(kb):
     assert len(seen_prompts) >= 2  # the candidate block forced a re-split
     for p in seen_prompts:
         assert count_tokens_by_spaces(p) <= ctx
+
+
+def test_renderer_with_defaults_not_offset_called():
+    """User renderers with default params must NOT receive the char offset
+    (explicit accepts_offset opt-in, not arity sniffing)."""
+    from spacy_llm_ray.tasks.sharding import make_shard_mapper
+    from spacy_llm_ray.tokenizer import tokenize
+
+    calls = []
+
+    def render(st, i, n, sep="\n"):
+        calls.append(sep)
+        return st
+
+    text = "one two three four five six seven eight nine ten " * 4
+    mapper = make_shard_mapper()
+    shards = mapper(text, tokenize(text), 12, render)
+    assert len(shards) > 1
+    assert all(s == "\n" for s in calls)  # offset never leaked into sep

@@ -226,3 +226,36 @@ def test_mocked_end_to_end_stage(monkeypatch, ray_session):
         concurrency=1,
     ).to_pandas()
     assert len(out) == 8 and out["reply"].str.startswith("echo:").all()
+
+
+def test_mistral_instruct_envelope_and_device_move(fake_hf):
+    seen = {"prompts": [], "devices": []}
+
+    class RecordingTokenizer(FakeTokenizer):
+        def __call__(self, prompt, return_tensors=None):
+            seen["prompts"].append(prompt)
+            out = super().__call__(prompt, return_tensors)
+
+            class Moveable(dict):
+                def to(self, device):
+                    seen["devices"].append(device)
+                    return self
+
+            return Moveable(out)
+
+    import spacy_llm_ray.models.hf as hfmod
+
+    hfmod.transformers.AutoTokenizer = SimpleNamespace(
+        from_pretrained=lambda name, **kw: RecordingTokenizer()
+    )
+    m = hf.Mistral(name="Mistral-7B-Instruct-v0.1",
+                   config_init={"device": "cuda:0"})
+    m._model.device = "cuda:0"
+    m(["hello"])
+    assert seen["prompts"][0] == "<s>[INST] hello [/INST]"
+    assert seen["devices"] == ["cuda:0"]
+    # Base (non-instruct) model: raw prompt.
+    seen["prompts"].clear()
+    m2 = hf.Mistral(name="Mistral-7B-v0.1")
+    m2(["hello"])
+    assert seen["prompts"][0] == "hello"
