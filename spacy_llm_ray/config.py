@@ -107,6 +107,8 @@ def run_job(source: Union[str, Path, Dict]) -> Dict[str, Any]:
             sf_dir,
             out,
             n_partitions=int(ckpt.get("n_partitions", 8)),
+            n_shards_per_partition=int(ckpt.get("n_shards_per_partition", 1)),
+            unit_parallelism=int(ckpt.get("unit_parallelism", 1)),
             models=models,
             batch_size=int(cfg.get("batch_size", 64)),
         )
