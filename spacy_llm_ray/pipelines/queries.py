@@ -797,6 +797,73 @@ def q_docs_langid(sf_dir: str):
     ).select_columns(["doc_id", "lang_pred"])
 
 
+def q_docs_curation(sf_dir: str):
+    """END-TO-END curation pipeline — the composed shape a training-data
+    run uses: language-ID + quality counters + exact-dup canonical + MinHash
+    near-dup canonical, folded into per-doc keep flags. One enrichment pass
+    over the corpus, one tiny groupby for exact groups, the distributed
+    MinHash pipeline for near-dups, two hash joins to attach the group
+    labels. Everything streams; nothing is driver-materialized."""
+    import ray
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    enriched = ds.map_batches(
+        textstats.LangIdStage, batch_format="pyarrow", concurrency=(1, 2)
+    ).map_batches(
+        textstats.quality_counters_batch, batch_format="pyarrow"
+    ).map_batches(
+        textstats.md5_fingerprint_batch, batch_format="pyarrow"
+    )
+
+    exact_groups = enriched.groupby("fingerprint").aggregate(
+        Min("doc_id", alias_name="keep_id")
+    )
+    near = dedup_mod.minhash_lsh_dedup(ds, threshold=0.8).select_columns(
+        ["doc_id", "dup_group"]
+    )
+
+    n_join = max(2, int(ray.cluster_resources().get("CPU", 8)) // 8)
+    joined = enriched.select_columns(
+        ["doc_id", "lang_pred", "n_words", "fingerprint"]
+    ).join(
+        exact_groups, join_type="inner", num_partitions=n_join,
+        on=("fingerprint",),
+    ).join(
+        near, join_type="inner", num_partitions=n_join, on=("doc_id",),
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        is_en = pc.cast(pc.equal(t["lang_pred"], "en"), pa.int64())
+        quality_ok = pc.cast(
+            pc.greater_equal(t["n_words"], pa.scalar(20)), pa.int64()
+        )
+        exact_canon = pc.cast(
+            pc.equal(t["keep_id"], t["doc_id"]), pa.int64()
+        )
+        near_canon = pc.cast(
+            pc.equal(t["dup_group"], t["doc_id"]), pa.int64()
+        )
+        keep = pc.multiply(
+            pc.multiply(is_en, quality_ok),
+            pc.multiply(exact_canon, near_canon),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "is_en": is_en,
+                "quality_ok": quality_ok,
+                "exact_canon": exact_canon,
+                "near_canon": near_canon,
+                "keep": keep,
+            }
+        )
+
+    return joined.map_batches(flags, batch_format="pyarrow")
+
+
+
+
 def q_docs_rolling_fp(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
@@ -1426,6 +1493,27 @@ FROM (SELECT conv_id, mention, label, unnest(range(n)) FROM m WHERE n > 0)
 """
 
 
+# Oracle: composed CTE re-derivation — langid + word counts + exact-dup
+# canonical (min doc_id per md5) + the full MinHash-LSH recomputation.
+SQL_DOCS_CURATION = f"""
+SELECT d.doc_id,
+  CAST(CASE WHEN l.lang_pred = 'en' THEN 1 ELSE 0 END AS BIGINT) AS is_en,
+  CAST(CASE WHEN q.n_words >= 20 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok,
+  CAST(CASE WHEN e.keep_id = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS exact_canon,
+  CAST(CASE WHEN m.dup_group = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS near_canon,
+  CAST(CASE WHEN l.lang_pred = 'en' AND q.n_words >= 20
+             AND e.keep_id = d.doc_id AND m.dup_group = d.doc_id
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d
+JOIN ({SQL_DOCS_LANGID}) l USING (doc_id)
+JOIN (SELECT doc_id, len(regexp_extract_all(text, '\\w+')) AS n_words
+      FROM documents) q USING (doc_id)
+JOIN (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+      FROM documents GROUP BY md5(text)) e ON md5(d.text) = e.fp
+JOIN ({SQL_DOCS_MINHASH_DEDUP}) m USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 
@@ -1454,6 +1542,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "docs_fingerprint": (q_docs_fingerprint, SQL_DOCS_FINGERPRINT),
     "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
     "docs_langid": (q_docs_langid, SQL_DOCS_LANGID),
+    "docs_curation": (q_docs_curation, SQL_DOCS_CURATION),
     "docs_rolling_fp": (q_docs_rolling_fp, SQL_DOCS_ROLLING_FP),
     "docs_minhash_dedup": (q_docs_minhash_dedup, SQL_DOCS_MINHASH_DEDUP),
     "docs_simhash": (q_docs_simhash, SQL_DOCS_SIMHASH),
