@@ -77,6 +77,8 @@ def run_bench() -> dict:
         "events_sessions",
         "events_last_order_asof",
         "docs_minhash_dedup",
+        "docs_curation",
+        "docs_dup_spans",
         "docs_simhash",
         "ann_cosine_topk",
         "ann_ivf_topk",

@@ -607,9 +607,9 @@ def duplicate_span_stats(
 ):
     """Per-document duplicated-span statistics -> Dataset of
     (doc_id, n_windows, n_dup_windows). Combiner shape: window rows ->
-    bucket groupby (hashes co-locate) -> per-doc partials -> hash aggregate."""
-    from ray.data.aggregate import Sum
-
+    bucket groupby (hashes co-locate) -> per-doc partials -> bucketed
+    per-doc sum (Ray's groupby().aggregate() costs ~20 s for 5k groups at
+    sf0.1; the bucket-group UDF shape does the same sum in ~1 s)."""
     rows = docs_ds.map_batches(
         DupSpanStage,
         fn_constructor_kwargs=dict(window=window, text_col=text_col,
@@ -634,13 +634,27 @@ def duplicate_span_stats(
         )
         return agg.reset_index()[[id_col, "dup_partial", "total_partial"]]
 
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(
+                pc.cast(batch[id_col], pa.int64()), pa.scalar(n_buckets - 1)
+            ),
+            pa.int32(),
+        )
+        return batch.append_column("dbucket", b)
+
+    def doc_sums(part: pd.DataFrame) -> pd.DataFrame:
+        agg = part.groupby(id_col, sort=False).agg(
+            n_windows=("total_partial", "sum"),
+            n_dup_windows=("dup_partial", "sum"),
+        )
+        return agg.reset_index()[[id_col, "n_windows", "n_dup_windows"]]
+
     return (
         rows.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(partials, batch_format="pandas")
-        .groupby(id_col)
-        .aggregate(
-            Sum("total_partial", alias_name="n_windows"),
-            Sum("dup_partial", alias_name="n_dup_windows"),
-        )
+        .map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(doc_sums, batch_format="pandas")
     )
