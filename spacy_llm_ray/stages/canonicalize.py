@@ -46,7 +46,9 @@ def _extract_pairs(batch: pa.Table) -> pa.Table:
         for side in ("subj", "obj")
     ]
     pairs = pd.concat(frames).drop_duplicates().sort_values(["surface", "qid"])
-    return pa.Table.from_pandas(pairs, preserve_index=False)
+    from .arrow_utils import df_table
+
+    return df_table(pairs)
 
 
 class _UnionFind:
@@ -121,40 +123,49 @@ def build_canonical_mapping(
     return mapping
 
 
-class _ApplyCanonical:
-    """map_batches callable applying the broadcast mapping (actor-or-task;
-    tiny state, fetched once)."""
+# Worker-process-level cache of fetched/split mappings keyed by ObjectRef:
+# the apply stage runs as plain tasks (no actor-pool startup cost), and each
+# reused worker process deserializes the broadcast dict exactly once.
+_MAPPING_CACHE: Dict = {}
 
-    def __init__(self, mapping_ref):
-        try:
-            import ray
 
-            if isinstance(mapping_ref, ray.ObjectRef):
-                mapping_ref = ray.get(mapping_ref)
-        except ImportError:
-            pass
-        self._mapping: Dict[str, Tuple[str, str]] = mapping_ref
+def _split_mapping(mapping_ref):
+    try:
+        import ray
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
+        if isinstance(mapping_ref, ray.ObjectRef):
+            cached = _MAPPING_CACHE.get(mapping_ref)
+            if cached is not None:
+                return cached
+            mapping = ray.get(mapping_ref)
+            split = (
+                {s: c[0] for s, c in mapping.items()},
+                {s: c[1] for s, c in mapping.items()},
+            )
+            _MAPPING_CACHE[mapping_ref] = split
+            return split
+    except ImportError:
+        pass
+    return (
+        {s: c[0] for s, c in mapping_ref.items()},
+        {s: c[1] for s, c in mapping_ref.items()},
+    )
 
-        id_map = getattr(self, "_id_map", None)
-        if id_map is None:
-            self._id_map = {s: c[0] for s, c in self._mapping.items()}
-            self._name_map = {s: c[1] for s, c in self._mapping.items()}
-            id_map = self._id_map
-        for side in ("subj", "obj"):
-            surfaces = batch[side].to_pandas()
-            ids = surfaces.map(id_map)
-            names = surfaces.map(self._name_map)
-            missing = ids.isna()
-            if missing.any():
-                fallback = surfaces[missing]
-                ids.loc[missing] = fallback.map(lambda s: "S:" + lowercase_normalizer(s))
-                names.loc[missing] = fallback
-            batch = batch.append_column(f"{side}_canon_id", pa.array(ids.tolist()))
-            batch = batch.append_column(f"{side}_canon", pa.array(names.tolist()))
-        return batch
+
+def _apply_canonical(batch: pa.Table, mapping_ref=None) -> pa.Table:
+    id_map, name_map = _split_mapping(mapping_ref)
+    for side in ("subj", "obj"):
+        surfaces = batch[side].to_pandas()
+        ids = surfaces.map(id_map)
+        names = surfaces.map(name_map)
+        missing = ids.isna()
+        if missing.any():
+            fallback = surfaces[missing]
+            ids.loc[missing] = fallback.map(lambda s: "S:" + lowercase_normalizer(s))
+            names.loc[missing] = fallback
+        batch = batch.append_column(f"{side}_canon_id", pa.array(ids.tolist()))
+        batch = batch.append_column(f"{side}_canon", pa.array(names.tolist()))
+    return batch
 
 
 def canonicalize_triples(triples_ds, kb: InMemoryKB, mapping=None):
@@ -170,8 +181,7 @@ def canonicalize_triples(triples_ds, kb: InMemoryKB, mapping=None):
         mapping = build_canonical_mapping(triples_ds, kb)
     ref = ray.put(mapping)
     return triples_ds.map_batches(
-        _ApplyCanonical,
-        fn_constructor_kwargs={"mapping_ref": ref},
+        _apply_canonical,
+        fn_kwargs={"mapping_ref": ref},
         batch_format="pyarrow",
-        concurrency=(2, 8),
     )

@@ -29,6 +29,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .arrow_utils import pandas_udf
+
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
 
@@ -184,7 +186,7 @@ def minhash_lsh_dedup(
 
     pairs_ds = band_rows.map_batches(add_part, batch_format="pyarrow").groupby(
         "part"
-    ).map_groups(_bucket_pairs, batch_format="pandas")
+    ).map_groups(pandas_udf(_bucket_pairs), batch_format="pandas")
 
     # Global distinct on (a, b): the same pair surfaces once per colliding
     # band. Dedup inside per-'a' groups — one shuffle bounded by the
@@ -257,7 +259,7 @@ def minhash_lsh_dedup(
 
     verified_ds = joined.map_batches(
         add_pair_bucket, batch_format="pyarrow"
-    ).groupby("pbucket").map_groups(verify_bucket, batch_format="pandas")
+    ).groupby("pbucket").map_groups(pandas_udf(verify_bucket), batch_format="pandas")
     verified_set: Set[Tuple] = set()
     for b in verified_ds.iter_batches(batch_format="pandas"):
         verified_set.update(zip(b["a"].tolist(), b["b"].tolist()))
@@ -435,11 +437,12 @@ def simhash_neardup_pairs(
 
     pairs = sigs.map_batches(explode, batch_format="pyarrow").map_batches(
         add_part, batch_format="pyarrow"
-    ).groupby("part").map_groups(part_pairs, batch_format="pandas")
+    ).groupby("part").map_groups(pandas_udf(part_pairs), batch_format="pandas")
     # Cross-partition repeats (pair agreeing on bands hashed to different
     # partitions) are removed with a per-'a' group dedup, like MinHash.
     return pairs.groupby("a").map_groups(
-        lambda g: g.drop_duplicates(subset=["a", "b"]), batch_format="pandas"
+        pandas_udf(lambda g: g.drop_duplicates(subset=["a", "b"])),
+        batch_format="pandas",
     )
 
 
@@ -519,14 +522,15 @@ def embedding_neardup_pairs(
         )
 
     pairs = with_bucket.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas"
+        pandas_udf(bucket_pairs), batch_format="pandas"
     )
     if not multiprobe:
         return pairs
     # Multi-probe can surface the same pair from several buckets: global
     # distinct via per-'a' group dedup (bounded by pair count).
     return pairs.groupby("a").map_groups(
-        lambda g: g.drop_duplicates(subset=["a", "b"]), batch_format="pandas"
+        pandas_udf(lambda g: g.drop_duplicates(subset=["a", "b"])),
+        batch_format="pandas",
     )
 
 
@@ -653,8 +657,8 @@ def duplicate_span_stats(
     return (
         rows.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(partials, batch_format="pandas")
+        .map_groups(pandas_udf(partials), batch_format="pandas")
         .map_batches(add_doc_bucket, batch_format="pyarrow")
         .groupby("dbucket")
-        .map_groups(doc_sums, batch_format="pandas")
+        .map_groups(pandas_udf(doc_sums), batch_format="pandas")
     )
