@@ -62,6 +62,8 @@ class HuggingFaceModel:
     """Base HF model (reference hf/base.py:14-159), flat-prompt calling
     convention (the engine's shard bookkeeping lives in the stages)."""
 
+    requires_actor_pool = True  # GPU-pinned weights: dedicated actor pool
+
     MODEL_NAMES: Tuple[str, ...] = ()
     HF_ACCOUNT = ""
     CONTEXT_LENGTH: Optional[int] = None

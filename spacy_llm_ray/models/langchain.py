@@ -39,6 +39,8 @@ class LangChainValidationError(Exception):
 class LangChainModel:
     """Flat-prompt adapter over a LangChain LLM instance."""
 
+    requires_actor_pool = True  # wraps a remote-API client: bounded actor pool
+
     #: injectable for tests; production resolves langchain_community.llms
     _type_to_cls_dict: Optional[Dict[str, Type]] = None
 

@@ -77,6 +77,8 @@ class RESTProvider:
     body), and ``_extract`` (response JSON -> text).
     """
 
+    requires_actor_pool = True  # rate-limited HTTP session: pool caps in-flight requests
+
     #: env var holding the API key, for error messages
     KEY_ENV = ""
 

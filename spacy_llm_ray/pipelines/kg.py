@@ -80,33 +80,63 @@ def transcripts_dataset(sf_dir: str, columns=None):
 MAX_DOC_TURNS = 512
 
 
+def _assembly_buckets(sf_dir: str) -> int:
+    """Shuffle-bucket count for document assembly, scaled with DATA size
+    (~8 MB of estimated in-memory turns per bucket, floor = cluster CPUs,
+    cap 65536): Ray's sort-shuffle cost grows with the reducer count, so a
+    CPU-multiple constant over-buckets small inputs while a constant would
+    under-bucket 100 TB."""
+    import os
+
+    import ray
+
+    path = f"{tdata.ensure_dataset(sf_dir)}/transcripts.parquet"
+    if os.path.isdir(path):
+        nbytes = sum(
+            os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+        )
+    else:
+        nbytes = os.path.getsize(path)
+    est_mem = nbytes * 4  # parquet -> in-memory string expansion
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return int(min(65536, max(cpus, est_mem // (8 << 20))))
+
+
 def documents_dataset(sf_dir: str, max_doc_turns=None):
-    return assemble_documents(transcripts_dataset(sf_dir), max_doc_turns=max_doc_turns)
+    return assemble_documents(
+        transcripts_dataset(sf_dir),
+        num_buckets=_assembly_buckets(sf_dir),
+        max_doc_turns=max_doc_turns,
+    )
 
 
 def kg_mentions_dataset(sf_dir: str, models: Optional[Dict] = None, batch_size: int = 64):
+    from ..stages.dispatch import stage_map_batches
+
     models = models or default_models()
     docs = documents_dataset(sf_dir, max_doc_turns=MAX_DOC_TURNS)
-    return docs.map_batches(
+    return stage_map_batches(
+        docs,
         NerStage,
-        fn_constructor_kwargs=dict(labels=LABELS_NER, model=models["ner"]),
-        batch_format="pyarrow",
+        dict(labels=LABELS_NER, model=models["ner"]),
         batch_size=batch_size,
         concurrency=_pool(),
-        num_cpus=1,
+        models=(models["ner"],),
     )
 
 
 def kg_relations_dataset(sf_dir: str, models: Optional[Dict] = None, batch_size: int = 64):
+    from ..stages.dispatch import stage_map_batches
+
     models = models or default_models()
     mentions = kg_mentions_dataset(sf_dir, models, batch_size)
-    return mentions.map_batches(
+    return stage_map_batches(
+        mentions,
         RelStage,
-        fn_constructor_kwargs=dict(labels=LABELS_REL, model=models["rel"]),
-        batch_format="pyarrow",
+        dict(labels=LABELS_REL, model=models["rel"]),
         batch_size=batch_size,
         concurrency=_pool(),
-        num_cpus=1,
+        models=(models["rel"],),
     )
 
 
@@ -118,16 +148,18 @@ def kg_linked_dataset(
 ):
     import ray
 
+    from ..stages.dispatch import stage_map_batches
+
     models = models or default_models()
     kb_ref = ray.put(kb or tdata.build_kb())
     rels = kg_relations_dataset(sf_dir, models, batch_size)
-    return rels.map_batches(
+    return stage_map_batches(
+        rels,
         ElStage,
-        fn_constructor_kwargs=dict(kb=kb_ref, model=models["el"]),
-        batch_format="pyarrow",
+        dict(kb=kb_ref, model=models["el"]),
         batch_size=batch_size,
         concurrency=_pool(),
-        num_cpus=1,
+        models=(models["el"],),
     )
 
 
@@ -140,6 +172,12 @@ def distinct_triples(triples_ds, keys=("conv_id", "subj", "pred", "obj"),
     group count at O(num_buckets) — the per-group UDF runs one vectorized
     pandas pass over many keys instead of one Python call per distinct key.
     Local per-batch dedup first acts as a combiner, shrinking the shuffle.
+
+    The bucket count scales with DATA volume (~64 MB of input per bucket),
+    not a fixed CPU multiple: Ray's sort-shuffle cost grows with the reducer
+    count, so 96 reducers over a 20 MB triple set is pure overhead (3.4 s vs
+    1.6 s at sf0.1), while at 100 TB the same rule yields thousands of
+    buckets, each still memory-bounded.
     """
     import pandas as pd
     import pyarrow as pa
@@ -147,7 +185,20 @@ def distinct_triples(triples_ds, keys=("conv_id", "subj", "pred", "obj"),
     from ..stages.arrow_utils import df_table, pandas_udf
 
     keys = list(keys)
-    nb = num_buckets or _pool()[1] * 8
+    nb = num_buckets
+    if nb is None:
+        from ray.data.dataset import MaterializedDataset
+
+        sz = None
+        if isinstance(triples_ds, MaterializedDataset):
+            try:  # materialized: size known without triggering execution
+                sz = triples_ds.size_bytes()
+            except Exception:
+                sz = None
+        if sz:
+            nb = max(8, -(-sz // (64 << 20)))
+        else:
+            nb = _pool()[1] * 8
 
     def local_dedup(batch: "pa.Table"):
         df = batch.to_pandas()
@@ -181,36 +232,41 @@ def kg_raw_triples_dataset(
     batch_size: int = 64,
     docs=None,
 ):
-    """documents -> fused NER+REL+EL+explode actor stage -> raw triples."""
+    """documents -> fused NER+REL+EL+explode stage -> raw triples.
+
+    The stage consumes only (conv_id, text): other document columns
+    (turn_offsets list<struct>, n_turns, chunk_idx) are pruned before the
+    stage so they never ship into extraction batches.
+    """
     import ray
 
+    from ..stages.dispatch import stage_map_batches
     from ..stages.llm_stage import KGStage
-
-    import ray as _ray
 
     models = models or default_models()
     kb_ref = ray.put(kb or tdata.build_kb())
     if docs is None:
         docs = documents_dataset(sf_dir, max_doc_turns=MAX_DOC_TURNS)
-    # The fused stage is the only heavy pool in the flagship — let it own
-    # nearly the whole node (read/write stages need a small CPU reserve).
-    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    docs = docs.select_columns(["conv_id", "text"])
+    # Actor path (real model backends): the fused stage is the only heavy
+    # pool in the flagship — a FIXED-size pool owning nearly the whole node
+    # (autoscaling ramps too slowly to saturate within a stage's lifetime;
+    # read/write stages keep a small CPU reserve). Mock/deterministic
+    # backends run as warm-worker tasks instead (stages/dispatch.py).
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     hi = max(2, cpus - max(1, cpus // 8))
-    return docs.map_batches(
+    return stage_map_batches(
+        docs,
         KGStage,
-        fn_constructor_kwargs=dict(
+        dict(
             ner_kwargs=dict(labels=LABELS_NER, model=models["ner"]),
             rel_kwargs=dict(labels=LABELS_REL, model=models["rel"]),
             el_kwargs=dict(kb=kb_ref, model=models["el"]),
         ),
-        batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        # Fixed-size pool: autoscaling ramps too slowly to saturate the node
-        # within a stage's lifetime; extraction is the dominant phase, so all
-        # actors start up front.
         concurrency=hi,
-        num_cpus=1,
+        models=tuple(models.values()),
     )
 
 

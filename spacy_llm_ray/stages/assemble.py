@@ -23,7 +23,6 @@ Partitioning/skew design (SURVEY.md §4):
 
 from __future__ import annotations
 
-import zlib
 from typing import List, Optional
 
 import numpy as np
@@ -63,10 +62,6 @@ def _default_num_buckets() -> int:
     return 32
 
 
-def _crc(s: str) -> int:
-    return zlib.crc32(s.encode())
-
-
 def _assemble_rows(texts, turn_idxs, roles):
     """Concat turn texts (already turn-ordered) with separators; emit
     per-turn offset structs."""
@@ -95,13 +90,15 @@ class _AddBuckets:
         self._salt_turns = salt_turns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        convs = batch["conv_id"].to_pylist()
+        # Vectorized row hash (fixed hash_key => deterministic within a run;
+        # bucket assignment only affects shuffle balance, never output).
+        h = pd.util.hash_pandas_object(
+            batch["conv_id"].to_pandas(), index=False
+        ).to_numpy()
         turn_idx = batch["turn_idx"].to_numpy(zero_copy_only=False)
         salts = turn_idx // self._salt_turns
-        b1 = np.fromiter(
-            (( _crc(c) ^ (int(s) * 0x9E3779B1)) % self._n for c, s in zip(convs, salts)),
-            dtype=np.int32,
-            count=len(convs),
+        b1 = ((h ^ (salts.astype(np.uint64) * np.uint64(0x9E3779B1))) % self._n).astype(
+            np.int32
         )
         return batch.append_column("bucket1", pa.array(b1)).append_column(
             "salt", pa.array(salts.astype(np.int32))
@@ -136,10 +133,10 @@ class _AddMergeBucket:
         self._n = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        b2 = pa.array(
-            [_crc(c) % self._n for c in batch["conv_id"].to_pylist()],
-            type=pa.int32(),
-        )
+        h = pd.util.hash_pandas_object(
+            batch["conv_id"].to_pandas(), index=False
+        ).to_numpy()
+        b2 = pa.array((h % self._n).astype(np.int32), type=pa.int32())
         return batch.append_column("bucket2", b2)
 
 
