@@ -57,16 +57,18 @@ def run_bench() -> dict:
     n_turns = pq.read_table(f"{data_dir}/transcripts.parquet", columns=["turn_idx"]).num_rows
 
     # ---- headline: full KG pipeline (sharded default config).
-    # Two runs, min reported: the first pays one-off actor-pool / JIT /
-    # page-cache costs that vary +/-3 s run-to-run on this box and are
-    # irrelevant to steady-state throughput; both numbers are recorded.
+    # Two runs; the SECOND (steady-state) is the headline: run 1 pays
+    # one-off Ray worker spawn / package import / page-cache costs
+    # irrelevant to steady-state throughput. Both runs are recorded
+    # (headline_runs[0] = cold), and the label below says which was used —
+    # no best-of-N selection.
     runs = []
     n_triples = 0
     for _ in range(2):
         t0 = time.monotonic()
         n_triples = kg.kg_triples_dataset(SF_DIR).count()
         runs.append(round(time.monotonic() - t0, 3))
-    headline = min(runs)
+    headline = runs[-1]
 
     # ---- representative per-operator timings (skipped for headline-only
     # scaling children, whose GRAFT_SF_DIR has no testdata tables)
@@ -105,6 +107,7 @@ def run_bench() -> dict:
         "turns": n_turns,
         "n_triples": n_triples,
         "headline_runs": runs,
+        "headline_metric": "steady_state (run 2 of 2; run 1 = cold start)",
         "turns_per_sec": round(n_turns / headline, 1),
     }
 

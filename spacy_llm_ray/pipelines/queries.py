@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 from ..data import transcripts as tdata
 from ..stages import ann as ann_mod
 from ..stages.arrow_utils import pandas_udf
+from ..stages.dispatch import stage_map_batches
 from ..stages import dedup as dedup_mod
 from ..stages import textstats
 from ..stages.llm_stage import LLMTaskStage, NerStage
@@ -189,14 +190,14 @@ def q_kg_mentions_v1(sf_dir: str):
     from ..models.mock import MockNERModel
 
     docs = kg.documents_dataset(sf_dir, max_doc_turns=kg.MAX_DOC_TURNS)
-    ds = docs.map_batches(
+    ds = stage_map_batches(
+        docs,
         NerStage,
-        fn_constructor_kwargs=dict(
+        dict(
             labels=kg.LABELS_NER,
             model=MockNERModel(tdata.GAZETTEER, context_length=None, fmt="v1"),
             cot=False,
         ),
-        batch_format="pyarrow",
         batch_size=64,
         concurrency=(1, 4),
     )
@@ -353,9 +354,8 @@ def q_q3_top_orders(sf_dir: str):
                 pc.is_in(batch["o_custkey"], value_set=self._keys)
             )
 
-    orders = orders.map_batches(
-        _SemiFilter, fn_constructor_kwargs=dict(ref=keys_ref),
-        batch_format="pyarrow", concurrency=(1, 2),
+    orders = stage_map_batches(
+        orders, _SemiFilter, dict(ref=keys_ref), concurrency=(1, 2)
     ).map_batches(
         lambda b: b.filter(
             pc.less(b["o_orderdate"], pa.scalar(pd.Timestamp("1998-01-01")))
@@ -808,8 +808,8 @@ GROUP BY md5(text)
 
 def q_docs_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(
-        textstats.LangIdStage, batch_format="pyarrow", concurrency=(1, 2)
+    return stage_map_batches(
+        ds, textstats.LangIdStage, {}, concurrency=(1, 2)
     ).select_columns(["doc_id", "lang_pred"])
 
 
@@ -824,8 +824,8 @@ def q_docs_curation(sf_dir: str):
     from ray.data.aggregate import Min
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    enriched = ds.map_batches(
-        textstats.LangIdStage, batch_format="pyarrow", concurrency=(1, 2)
+    enriched = stage_map_batches(
+        ds, textstats.LangIdStage, {}, concurrency=(1, 2)
     ).map_batches(
         textstats.quality_counters_batch, batch_format="pyarrow"
     ).map_batches(
@@ -1079,8 +1079,8 @@ FROM win GROUP BY doc_id
 
 def q_docs_simhash(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(
-        dedup_mod.SimHashStage, batch_format="pyarrow", concurrency=(1, 2)
+    return stage_map_batches(
+        ds, dedup_mod.SimHashStage, {}, concurrency=(1, 2)
     ).select_columns(["doc_id", "simhash"])
 
 
@@ -1296,16 +1296,16 @@ def q_emb_neardup_lsh(sf_dir: str):
 def _task_stage(sf_dir: str, model, prompt_fn, parse_fn, out_col, out_type,
                 reduce="join"):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(
+    return stage_map_batches(
+        ds,
         LLMTaskStage,
-        fn_constructor_kwargs=dict(
+        dict(
             model=model, prompt_fn=prompt_fn, parse_fn=parse_fn,
             out_col=out_col, out_type=out_type, reduce=reduce,
         ),
-        batch_format="pyarrow",
         batch_size=128,
         concurrency=(1, 4),
-        num_cpus=1,
+        models=(model,),
     ).select_columns(["doc_id", out_col])
 
 
@@ -1481,14 +1481,14 @@ def q_task_spancat(sf_dir: str):
     from ..models.mock import MockNERModel
 
     docs = kg.documents_dataset(sf_dir)
-    ds = docs.map_batches(
+    ds = stage_map_batches(
+        docs,
         NerStage,
-        fn_constructor_kwargs=dict(
+        dict(
             labels=kg.LABELS_NER,
             model=MockNERModel(tdata.GAZETTEER, context_length=None, fmt="overlap"),
             assign="spans", allow_overlap=True,
         ),
-        batch_format="pyarrow",
         batch_size=64,
         concurrency=(1, 4),
     )
