@@ -935,9 +935,11 @@ def _minhash_perm_values() -> str:
     )
 
 
-# Full independent SQL recomputation of the MinHash-LSH dedup: 3-word
-# shingles -> md5 word hashes -> (a*h+b) with numpy's uint64 wrap semantics
-# (mod 2^64) then mod 2^61-1, min per permutation -> 32 bands of 4 -> band
+# Full independent SQL recomputation of the MinHash-LSH dedup: md5 word
+# hashes -> 3-word-window polynomial shingle hashes (base 1099511628211,
+# numpy uint64 wrap == % 2^64) -> (a*h+b) mod 2^64 then mod 2^61-1, min per
+# permutation -> 32 bands of 4 (band hash = the same polynomial over the
+# band's signature values, % 2^63 == the engine's 63-bit mask) -> band
 # buckets -> candidate pairs -> exact shingle-Jaccard verify at 0.8 ->
 # connected components via a recursive transitive closure, min-id label.
 SQL_DOCS_MINHASH_DEDUP = f"""
@@ -955,10 +957,25 @@ sh AS (
       END) AS shingle
   FROM words
 ),
-hv AS (
+wordhash AS (
   SELECT doc_id,
-         (('0x' || substr(md5(shingle), 1, 16))::UBIGINT)::HUGEINT AS h
-  FROM sh
+         list_transform(
+           ws, w -> (('0x' || substr(md5(w), 1, 16))::UBIGINT)::HUGEINT
+         ) AS wh,
+         len(ws) AS m
+  FROM words
+),
+hv AS (
+  SELECT DISTINCT doc_id, unnest(
+      CASE WHEN m < 3 THEN
+        [list_reduce(list_prepend(0::HUGEINT, wh),
+                     (a, b) -> (a * 1099511628211 + b) % 18446744073709551616)]
+      ELSE list_transform(range(1, m - 1),
+        i -> list_reduce(list_prepend(0::HUGEINT, list_slice(wh, i, i + 2)),
+                         (a, b) -> (a * 1099511628211 + b)
+                                   % 18446744073709551616))
+      END) AS h
+  FROM wordhash
 ),
 sig AS (
   SELECT doc_id, p.i AS perm_i,
@@ -968,9 +985,11 @@ sig AS (
 ),
 bands AS (
   SELECT doc_id, perm_i // 4 AS band_id,
-         CAST(('0x' || substr(md5(string_agg(CAST(s AS VARCHAR), ','
-                                             ORDER BY perm_i)), 1, 16))::UBIGINT
-              & 9223372036854775807 AS BIGINT) AS bh
+         CAST(list_reduce(list_prepend(0::HUGEINT,
+                                       list(s::HUGEINT ORDER BY perm_i)),
+                          (a, b) -> (a * 1099511628211 + b)
+                                    % 18446744073709551616)
+              % 9223372036854775808 AS BIGINT) AS bh
   FROM sig GROUP BY doc_id, perm_i // 4
 ),
 cand AS (

@@ -56,6 +56,52 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 
 # ------------------------------------------------------------------ minhash
 
+#: FNV-64 prime; shingle/band hashes compose md5 word hashes with
+#: h = h*BASE + x under natural uint64 wraparound (mod 2^64) — the same
+#: arithmetic the SQL oracles replay with HUGEINT % 2^64.
+_POLY_BASE = np.uint64(1099511628211)
+
+
+class _WordHasher:
+    """md5-per-UNIQUE-word hash with a cross-batch cache: natural-language
+    batches hit the cache constantly, so md5 runs ~once per vocabulary item
+    per worker instead of once per token/shingle occurrence."""
+
+    def __init__(self, max_vocab: int = 2_000_000):
+        self._cache: Dict[str, int] = {}
+        self._max = max_vocab
+
+    def __call__(self, words: List[str]) -> np.ndarray:
+        cache = self._cache
+        for w in words:
+            if w not in cache:
+                cache[w] = _stable_hash64(w)
+        if len(cache) > self._max:  # bound worker memory on huge vocabularies
+            cache.clear()
+            for w in words:
+                cache[w] = _stable_hash64(w)
+        return np.fromiter((cache[w] for w in words), dtype=np.uint64,
+                           count=len(words))
+
+
+def _window_poly_hashes(wh: np.ndarray, n: int) -> np.ndarray:
+    """Polynomial hash of every length-``n`` window of word hashes (one
+    vector op per window position — no per-shingle Python). Short inputs
+    hash the full word list (mirroring ``shingles``'s short-doc rule)."""
+    if len(wh) == 0:
+        return wh
+    if len(wh) < n:
+        acc = np.uint64(0)
+        for k in range(len(wh)):
+            acc = acc * _POLY_BASE + wh[k]
+        return np.array([acc], dtype=np.uint64)
+    m = len(wh) - n + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for k in range(n):
+        acc = acc * _POLY_BASE + wh[k : k + m]
+    return acc
+
+
 def _minhash_params(num_perm: int, seed: int = 42):
     rng = np.random.RandomState(seed)
     prime = (1 << 61) - 1
@@ -64,11 +110,13 @@ def _minhash_params(num_perm: int, seed: int = 42):
     return a, b, np.uint64(prime)
 
 
-def minhash_signature(text: str, a, b, prime, n: int = 3) -> np.ndarray:
-    sh = shingles(text, n)
-    if not sh:
+def minhash_signature(text: str, a, b, prime, n: int = 3,
+                      hasher: "_WordHasher" = None) -> np.ndarray:
+    words = _WORD_RE.findall(text.lower())
+    if not words:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    hv = np.array([_stable_hash64(s) for s in sh], dtype=np.uint64)
+    wh = (hasher or _WordHasher())(words)
+    hv = np.unique(_window_poly_hashes(wh, n))
     # (a*h + b) % prime, rowwise min — vectorized over shingles x perms.
     vals = (np.outer(hv, a) + b) % prime
     return vals.min(axis=0)
@@ -76,7 +124,7 @@ def minhash_signature(text: str, a, b, prime, n: int = 3) -> np.ndarray:
 
 class MinHashStage:
     """Adds a ``minhash`` fixed-size-list column (stateful: permutation
-    params built once per actor)."""
+    params + word-hash cache built once per worker)."""
 
     def __init__(self, num_perm: int = 128, shingle_n: int = 3,
                  text_col: str = "text", seed: int = 42):
@@ -84,10 +132,13 @@ class MinHashStage:
         self._n = shingle_n
         self._text_col = text_col
         self._num_perm = num_perm
+        self._hasher = _WordHasher()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [
-            minhash_signature(t, self._a, self._b, self._prime, self._n).astype(np.int64)
+            minhash_signature(
+                t, self._a, self._b, self._prime, self._n, self._hasher
+            ).astype(np.int64)
             for t in batch[self._text_col].to_pylist()
         ]
         arr = pa.FixedSizeListArray.from_arrays(
@@ -99,22 +150,33 @@ class MinHashStage:
 
 def explode_bands(batch: pa.Table, bands: int = 32, id_col: str = "doc_id") -> pa.Table:
     """minhash column -> (band_id, band_hash, doc_id) rows for the LSH
-    bucket groupby."""
-    ids = batch[id_col].to_pylist()
-    sigs = batch["minhash"].to_pylist()
-    rows_band, rows_hash, rows_id = [], [], []
-    for doc_id, sig in zip(ids, sigs):
-        r = len(sig) // bands
-        for bi in range(bands):
-            chunk = sig[bi * r : (bi + 1) * r]
-            rows_band.append(bi)
-            rows_hash.append(_stable_hash64(",".join(map(str, chunk))) & ((1 << 63) - 1))
-            rows_id.append(doc_id)
+    bucket groupby. Band hashes are one vectorized polynomial compose over
+    the (docs x bands x r) signature cube — no per-doc Python."""
+    n_docs = len(batch)
+    if n_docs == 0:
+        return pa.table(
+            {
+                "band_id": pa.array([], type=pa.int32()),
+                "band_hash": pa.array([], type=pa.int64()),
+                id_col: batch[id_col],
+            }
+        )
+    col = batch["minhash"].combine_chunks()
+    num_perm = col.type.list_size
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    r = num_perm // bands
+    cube = flat.reshape(n_docs, bands, r)
+    acc = np.zeros((n_docs, bands), dtype=np.uint64)
+    for k in range(r):
+        acc = acc * _POLY_BASE + cube[:, :, k]
+    band_hash = (acc & np.uint64((1 << 63) - 1)).astype(np.int64)
+    band_id = np.tile(np.arange(bands, dtype=np.int32), n_docs)
+    idx = np.repeat(np.arange(n_docs), bands)
     return pa.table(
         {
-            "band_id": pa.array(rows_band, type=pa.int32()),
-            "band_hash": pa.array(rows_hash, type=pa.int64()),
-            id_col: pa.array(rows_id),
+            "band_id": pa.array(band_id, type=pa.int32()),
+            "band_hash": pa.array(band_hash.reshape(-1), type=pa.int64()),
+            id_col: batch[id_col].take(pa.array(idx)),
         }
     )
 
@@ -166,10 +228,12 @@ def minhash_lsh_dedup(
     count) are collected for the connected-components step, which stays a
     tiny driver union-find broadcast back as a lookup map.
     """
-    sigs = docs_ds.map_batches(
+    from .dispatch import stage_map_batches
+
+    sigs = stage_map_batches(
+        docs_ds,
         MinHashStage,
-        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_n=shingle_n, text_col=text_col),
-        batch_format="pyarrow",
+        dict(num_perm=num_perm, shingle_n=shingle_n, text_col=text_col),
         concurrency=(1, 4),
     )
     band_rows = sigs.map_batches(
@@ -178,10 +242,9 @@ def minhash_lsh_dedup(
     n_parts = 64
 
     def add_part(batch: pa.Table) -> pa.Table:
-        part = [
-            (int(bi) * 0x9E3779B1 ^ int(bh)) % n_parts
-            for bi, bh in zip(batch["band_id"].to_pylist(), batch["band_hash"].to_pylist())
-        ]
+        bi = batch["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (((bi * np.uint64(0x9E3779B1)) ^ bh) % np.uint64(n_parts)).astype(np.int32)
         return batch.append_column("part", pa.array(part, type=pa.int32()))
 
     pairs_ds = band_rows.map_batches(add_part, batch_format="pyarrow").groupby(
@@ -238,10 +301,9 @@ def minhash_lsh_dedup(
     )
 
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        bucket = [
-            (int(x) * 0x9E3779B1 ^ int(y)) % 64
-            for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist())
-        ]
+        x = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        y = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (((x * np.uint64(0x9E3779B1)) ^ y) % np.uint64(64)).astype(np.int32)
         return batch.append_column("pbucket", pa.array(bucket, type=pa.int32()))
 
     def verify_bucket(part: pd.DataFrame) -> pd.DataFrame:
@@ -292,14 +354,14 @@ def minhash_lsh_dedup(
             self._m = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_pylist()
+            ids = batch[id_col].to_pandas()
+            grp = ids.map(self._m).fillna(ids).astype("int64")
             return batch.append_column(
-                "dup_group", pa.array([self._m.get(i, i) for i in ids], type=pa.int64())
+                "dup_group", pa.array(grp.to_numpy(), type=pa.int64())
             )
 
-    return docs_ds.map_batches(
-        _Assign, fn_constructor_kwargs=dict(ref=ref),
-        batch_format="pyarrow", concurrency=(1, 2),
+    return stage_map_batches(
+        docs_ds, _Assign, dict(ref=ref), concurrency=(1, 2)
     )
 
 
