@@ -309,6 +309,12 @@ def ensure_dataset(
     """
     if isinstance(sf, int):
         sf_name, n_turns = f"turns{sf}", sf
+    elif os.path.exists(os.path.join(str(sf), "_COMPLETE")):
+        # A ready-made generated dataset dir (any path): use it in place.
+        with open(os.path.join(str(sf), "_COMPLETE")) as f:
+            if "format=v2" in f.read():
+                return str(sf)
+        raise ValueError(f"dataset dir {sf!r} has an incompatible format marker")
     else:
         sf_name = os.path.basename(str(sf).rstrip("/"))
         if sf_name in SF_TURNS:

@@ -30,7 +30,6 @@ import os
 import shutil
 import time
 import uuid
-import zlib
 from typing import Dict, List, Optional
 
 import pyarrow as pa
@@ -48,16 +47,43 @@ def config_hash(cfg: Dict) -> str:
     ).hexdigest()[:16]
 
 
+#: Version of the key-partitioning function below. Folded into the phase-0
+#: input-snapshot fingerprint: changing the hash invalidates the persisted
+#: unit layout instead of silently mis-routing resumed units.
+_PARTITIONER_VERSION = 2
+
+#: conv_ids are hashed as fixed-width byte rows (ids longer than this are
+#: truncated for hashing only — uniqueness of routing is not required,
+#: only determinism).
+_KEY_WIDTH = 48
+
+
+def _partition_array(conv_ids, n: int):
+    """Vectorized deterministic partitioner: ids -> fixed-width byte matrix
+    -> base-257 polynomial mod 2^64 (one vector op per byte column; no
+    per-row Python). Stable across processes, runs and library versions —
+    required for checkpoint resume."""
+    import numpy as np
+
+    if len(conv_ids) == 0:
+        return np.empty(0, dtype=np.int32)
+    raw = np.asarray(conv_ids, dtype=f"S{_KEY_WIDTH}")
+    mat = raw.view(np.uint8).reshape(len(raw), -1)
+    acc = np.zeros(len(raw), dtype=np.uint64)
+    base = np.uint64(257)
+    for j in range(mat.shape[1]):
+        acc = acc * base + mat[:, j]
+    return (acc % np.uint64(n)).astype(np.int32)
+
+
 def _partition_of(conv_id: str, n: int) -> int:
-    return zlib.crc32(conv_id.encode()) % n
+    return int(_partition_array([conv_id], n)[0])
 
 
 def _make_partition_filter(part: int, n: int):
     def fn(batch: pa.Table) -> pa.Table:
-        keep = [
-            _partition_of(c, n) == part for c in batch["conv_id"].to_pylist()
-        ]
-        return batch.filter(pa.array(keep))
+        parts = _partition_array(batch["conv_id"].to_pylist(), n)
+        return batch.filter(pa.array(parts == part))
 
     return fn
 
@@ -104,6 +130,7 @@ def run_partitioned_kg(
     from ..data import transcripts as tdata
     from ..pipelines import kg
     from ..stages.canonicalize import build_canonical_mapping, canonicalize_triples
+    from ..stages.dispatch import stage_map_batches
     from ..stages.llm_stage import KGStage
     from ..stages.assemble import assemble_documents
 
@@ -153,17 +180,62 @@ def run_partitioned_kg(
     # partitioned write). Without this every unit re-scans the whole input
     # — O(N x units) read amplification, catastrophic at 100 TB; with it
     # each unit reads exactly its 1/n_units slice. The layout is part of
-    # the checkpoint (deterministic; reused on resume, rebuilt only if
-    # missing or keyed differently).
+    # the checkpoint (deterministic; reused on resume). The _DONE marker
+    # carries a SOURCE-DATA fingerprint (file sizes + mtimes + partitioner
+    # version): if transcripts.parquet changed since the snapshot — or the
+    # partitioning hash itself changed — the snapshot is rebuilt instead of
+    # silently feeding stale data to not-yet-completed units. The rebuild
+    # is recorded in _lineage/phase0.json so a crash between phase 0 and
+    # unit 0 is visible in the manifest.
+    src_path = f"{data_dir}/transcripts.parquet"
+    src_files = (
+        sorted(os.listdir(src_path)) if os.path.isdir(src_path) else [src_path]
+    )
+    fingerprint = hashlib.sha256(
+        json.dumps(
+            {
+                "partitioner_version": _PARTITIONER_VERSION,
+                "n_units": n_units,
+                "files": [
+                    (
+                        f,
+                        os.path.getsize(os.path.join(src_path, f))
+                        if os.path.isdir(src_path)
+                        else os.path.getsize(f),
+                        int(
+                            os.path.getmtime(os.path.join(src_path, f))
+                            if os.path.isdir(src_path)
+                            else os.path.getmtime(f)
+                        ),
+                    )
+                    for f in src_files
+                ],
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:16]
+
     input_dir = os.path.join(out_dir, f"_input_units={n_units}")
-    if not os.path.exists(os.path.join(input_dir, "_DONE")):
+    done_marker = os.path.join(input_dir, "_DONE")
+    marker_ok = False
+    if os.path.exists(done_marker):
+        with open(done_marker) as f:
+            marker_ok = f.read().strip() == fingerprint
+    if not marker_ok:
+        if os.path.exists(done_marker) and manifest:
+            # Units already committed against a DIFFERENT input snapshot:
+            # rebuilding now would mix two datasets in one output.
+            raise ConfigMismatchError(
+                f"input data under {src_path} changed after "
+                f"{len(manifest)} unit(s) were checkpointed at {out_dir}; "
+                "clear the output dir (or restore the original input) "
+                "before resuming"
+            )
+        t0_in = time.monotonic()
         shutil.rmtree(input_dir, ignore_errors=True)
 
         def add_unit(batch: pa.Table) -> pa.Table:
-            units = [
-                _partition_of(c, n_units)
-                for c in batch["conv_id"].to_pylist()
-            ]
+            units = _partition_array(batch["conv_id"].to_pylist(), n_units)
             return batch.append_column(
                 "unit", pa.array(units, type=pa.int32())
             ).replace_schema_metadata(None)
@@ -171,14 +243,22 @@ def run_partitioned_kg(
         tmp_in = input_dir + ".tmp"
         shutil.rmtree(tmp_in, ignore_errors=True)
         ray.data.read_parquet(
-            f"{data_dir}/transcripts.parquet",
+            src_path,
             columns=["conv_id", "turn_idx", "role", "text"],
         ).map_batches(add_unit, batch_format="pyarrow").write_parquet(
             tmp_in, partition_cols=["unit"]
         )
         os.rename(tmp_in, input_dir)
-        with open(os.path.join(input_dir, "_DONE"), "w") as f:
-            f.write("ok")
+        with open(done_marker, "w") as f:
+            f.write(fingerprint)
+        phase0_rec = {
+            "phase": 0,
+            "fingerprint": fingerprint,
+            "n_units": n_units,
+            "duration_s": round(time.monotonic() - t0_in, 3),
+        }
+        with open(os.path.join(lineage_dir, "phase0.json"), "w") as f:
+            json.dump(phase0_rec, f)
 
     completed, skipped = [], []
 
@@ -206,16 +286,23 @@ def run_partitioned_kg(
                 )
             )
             n_turns = 0
-        docs = assemble_documents(ds, max_doc_turns=kg.MAX_DOC_TURNS)
-        triples = docs.map_batches(
+        # Assembly buckets scale with the UNIT's turn count (not a global
+        # CPU multiple): each unit shuffles only its own slice.
+        nb_unit = max(4, min(4096, n_turns // 20_000 + 4))
+        docs = assemble_documents(
+            ds, num_buckets=nb_unit, max_doc_turns=kg.MAX_DOC_TURNS
+        )
+        triples = stage_map_batches(
+            docs.select_columns(["conv_id", "text"]),
             KGStage,
-            fn_constructor_kwargs=dict(
+            dict(
                 ner_kwargs=dict(labels=kg.LABELS_NER, model=models["ner"]),
                 rel_kwargs=dict(labels=kg.LABELS_REL, model=models["rel"]),
                 el_kwargs=dict(kb=kb_ref, model=models["el"]),
             ),
-            batch_format="pyarrow", batch_size=batch_size,
-            concurrency=unit_pool, num_cpus=1,
+            batch_size=batch_size,
+            concurrency=unit_pool,
+            models=tuple(models.values()),
         )
 
         tmp = os.path.join(raw_dir, f".tmp-{unit}-{uuid.uuid4().hex[:8]}")
@@ -286,12 +373,16 @@ def run_partitioned_kg(
         # Ray retries that import inside EVERY read_parquet and tolerates
         # it sequentially, but concurrent retries from driver threads race
         # into partially-initialized-module ImportErrors that Ray does not
-        # catch. Pin a stub module once: imports become a sys.modules hit
-        # (race-free), and Ray's isinstance check against the placeholder
-        # class is trivially False for local filesystems.
+        # catch. Pin a stub module for the DURATION OF THE EXECUTOR BLOCK
+        # ONLY: imports become a sys.modules hit (race-free), Ray's
+        # isinstance check against the placeholder class is trivially False
+        # for local filesystems, and the stub is removed afterwards so a
+        # later consumer that legitimately needs HTTPFileSystem in this
+        # process sees the real import error, not a silent placeholder.
         import sys
         import types
 
+        stub_installed = False
         try:
             import fsspec.implementations.http  # noqa: F401
         except ImportError:
@@ -302,24 +393,29 @@ def run_partitioned_kg(
 
             stub.HTTPFileSystem = _NoHTTPFileSystem
             sys.modules["fsspec.implementations.http"] = stub
+            stub_installed = True
 
-        # Each concurrent unit needs headroom beyond its actor pool (read/
-        # write/shuffle tasks); on small clusters concurrent units starve
-        # each other, so require >= 4 CPUs per in-flight unit.
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        k = max(1, min(unit_parallelism, len(todo), cpus // 4))
-        lo, hi = pool if isinstance(pool, tuple) else (pool, pool)
-        unit_pool = (max(1, lo // k), max(1, hi // k))
-        with ThreadPoolExecutor(max_workers=k) as ex:
-            futs = {
-                ex.submit(run_unit, part, shard, unit_pool): (part, shard)
-                for part, shard in todo
-            }
-            for fut in as_completed(futs):
-                fut.result()  # propagate the first failure
-                part, shard = futs[fut]
-                completed.append(part if n_sh == 1 else (part, shard))
-        completed.sort()
+        try:
+            # Each concurrent unit needs headroom beyond its actor pool
+            # (read/write/shuffle tasks); on small clusters concurrent units
+            # starve each other, so require >= 4 CPUs per in-flight unit.
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            k = max(1, min(unit_parallelism, len(todo), cpus // 4))
+            lo, hi = pool if isinstance(pool, tuple) else (pool, pool)
+            unit_pool = (max(1, lo // k), max(1, hi // k))
+            with ThreadPoolExecutor(max_workers=k) as ex:
+                futs = {
+                    ex.submit(run_unit, part, shard, unit_pool): (part, shard)
+                    for part, shard in todo
+                }
+                for fut in as_completed(futs):
+                    fut.result()  # propagate the first failure
+                    part, shard = futs[fut]
+                    completed.append(part if n_sh == 1 else (part, shard))
+            completed.sort()
+        finally:
+            if stub_installed:
+                sys.modules.pop("fsspec.implementations.http", None)
 
     # Phase 2: global canonicalization + dedup over all raw partitions.
     raw_files = [

@@ -129,3 +129,49 @@ def test_concurrent_units_match_sequential(sf_dir, tmp_path_factory):
     )
     assert sorted(summary["completed"]) == [(0, 0), (0, 1), (1, 0), (1, 1)]
     assert _load_triples(out_a) == _load_triples(out_b)
+
+
+def test_phase0_lineage_and_data_fingerprint(sf_dir, tmp_path_factory):
+    """Phase-0 writes its own lineage record; changing the source data (a)
+    rebuilds the input snapshot when nothing is checkpointed yet, (b) fails
+    fast once units have committed against the old snapshot."""
+    import time as _time
+
+    # Work on a private copy of the dataset so mtime bumps don't leak.
+    src_copy = str(tmp_path_factory.mktemp("data_copy"))
+    shutil.copytree(sf_dir, src_copy, dirs_exist_ok=True)
+    out = str(tmp_path_factory.mktemp("kg_fp"))
+
+    run_partitioned_kg(src_copy, out, n_partitions=N_PARTS)
+    rec = json.load(open(os.path.join(out, "_lineage", "phase0.json")))
+    assert rec["phase"] == 0 and rec["n_units"] == N_PARTS
+    fp1 = open(os.path.join(out, f"_input_units={N_PARTS}", "_DONE")).read()
+
+    # Touch the source -> fingerprint changes -> resuming over completed
+    # units must fail fast, not silently mix snapshots.
+    tp = os.path.join(src_copy, "transcripts.parquet")
+    target = tp if os.path.isfile(tp) else os.path.join(
+        tp, sorted(os.listdir(tp))[0]
+    )
+    os.utime(target, (int(_time.time()) + 10, int(_time.time()) + 10))
+    with pytest.raises(ConfigMismatchError):
+        run_partitioned_kg(src_copy, out, n_partitions=N_PARTS)
+
+    # Fresh output dir: the snapshot rebuilds under the new fingerprint.
+    out2 = str(tmp_path_factory.mktemp("kg_fp2"))
+    run_partitioned_kg(src_copy, out2, n_partitions=N_PARTS)
+    fp2 = open(os.path.join(out2, f"_input_units={N_PARTS}", "_DONE")).read()
+    assert fp1 != fp2
+    assert _load_triples(out) == _load_triples(out2)
+
+
+def test_partition_array_deterministic_and_vectorized():
+    from spacy_llm_ray.state.checkpoint import _partition_array, _partition_of
+
+    ids = [f"conv-{i:06d}" for i in range(1000)] + ["x" * 100, ""]
+    arr = _partition_array(ids, 16)
+    assert arr.min() >= 0 and arr.max() < 16
+    # scalar wrapper agrees with the vectorized path
+    assert all(int(arr[i]) == _partition_of(c, 16) for i, c in enumerate(ids))
+    # deterministic across calls
+    assert (arr == _partition_array(ids, 16)).all()
