@@ -1301,11 +1301,47 @@ def q_media_features(sf_dir: str):
 
 
 def q_emb_neardup_lsh(sf_dir: str):
-    # Production shape: hyperplane-LSH buckets + in-bucket exact cosine.
-    # Single-probe recall < 1 by design, so rows-only (the exact variant
-    # above is the oracle-checked one).
+    """Production shape: hyperplane-LSH buckets + multi-probe + in-bucket
+    exact cosine. LSH recall < 1 by design, so the per-pair output is not
+    SQL-predictable; instead the query RETURNS A RECALL CERTIFICATE
+    (r2 VERDICT #7): the exact pair set is computed by the same distributed
+    operator in its degenerate exact configuration, recall of the LSH run
+    is measured against it, and the asserted bound makes the output
+    deterministic — (n_exact_pairs, recall_ok=1) — and therefore
+    oracle-checkable against the SQL cross-join."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return dedup_mod.embedding_neardup_pairs(ds, threshold=0.45, n_planes=8)
+    # Weak similarity threshold (0.45 -> per-plane collision p ~ 0.65), so
+    # OR-amplify: 16 tables of 4 planes gives recall ~ 1-(1-p^4)^16 ~ 0.95.
+    lsh = dedup_mod.embedding_neardup_pairs(
+        ds, threshold=0.45, n_planes=4, n_tables=16
+    )
+    exact = dedup_mod.embedding_neardup_pairs(ds, threshold=0.45, n_planes=0)
+
+    def pair_set(out_ds):
+        s = set()
+        for b in out_ds.iter_batches(batch_format="pandas"):
+            s.update(zip(b["a"].tolist(), b["b"].tolist()))
+        return s
+
+    lsh_pairs, exact_pairs = pair_set(lsh), pair_set(exact)
+    recall = (
+        len(lsh_pairs & exact_pairs) / len(exact_pairs) if exact_pairs else 1.0
+    )
+    return pa.table(
+        {
+            "n_exact_pairs": pa.array([len(exact_pairs)], type=pa.int64()),
+            "recall_ok": pa.array([1 if recall >= 0.8 else 0], type=pa.int64()),
+        }
+    )
+
+
+SQL_EMB_NEARDUP_LSH = """
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       CAST(1 AS BIGINT) AS recall_ok
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= 0.45
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1587,7 +1623,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_COSINE_TOPK),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
-    "emb_neardup_lsh": (q_emb_neardup_lsh, None),
+    "emb_neardup_lsh": (q_emb_neardup_lsh, SQL_EMB_NEARDUP_LSH),
     "media_features": (q_media_features, None),
     # LLM task stages over documents
     "task_sentiment": (q_task_sentiment, SQL_TASK_SENTIMENT),

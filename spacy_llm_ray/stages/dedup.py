@@ -510,6 +510,34 @@ def simhash_neardup_pairs(
 
 # --------------------------------------------------------- embedding cosine
 
+def _subdivide_bucket(ids, v, cap: int, seed: int, depth: int = 0):
+    """Hot-bucket guard: recursively split an oversized LSH bucket with
+    fresh hyperplanes (deterministic per depth) until every leaf is at most
+    ``cap`` rows, bounding in-bucket all-pairs work at O(levels x n x cap)
+    instead of O(n^2) — one skewed bucket cannot quadratic-blow a 100 TB
+    run. Vectors equal up to scale always land in the same leaf (identical
+    hyperplane signs), so true near-duplicates survive the split; pairs
+    straddling a split plane are the (bounded, same as top-level LSH)
+    recall cost. Returns a list of index arrays (leaves)."""
+    if len(ids) <= cap or depth >= 8:
+        return [np.arange(len(ids))]
+    k = max(1, int(np.ceil(np.log2(len(ids) / cap))))
+    rng = np.random.RandomState(seed + 7919 * (depth + 1))
+    planes = rng.randn(k, v.shape[1])
+    signs = (v @ planes.T) > 0
+    sub = np.zeros(len(ids), dtype=np.int64)
+    for i in range(k):
+        sub |= signs[:, i].astype(np.int64) << i
+    leaves = []
+    for s in np.unique(sub):
+        idx = np.flatnonzero(sub == s)
+        if len(idx) == len(ids):  # degenerate split (all same side): stop
+            return [np.arange(len(ids))]
+        for leaf in _subdivide_bucket(ids[idx], v[idx], cap, seed, depth + 1):
+            leaves.append(idx[leaf])
+    return leaves
+
+
 def embedding_neardup_pairs(
     emb_ds,
     threshold: float = 0.95,
@@ -518,9 +546,17 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     seed: int = 7,
     multiprobe: int = 0,
+    max_bucket: int = 4096,
+    n_tables: int = 1,
 ):
     """Near-duplicate (a, b, cos) pairs via random-hyperplane LSH buckets +
     exact cosine within bucket. Bucket groupby is the only shuffle.
+
+    ``n_tables=L`` builds the standard OR-amplified construction: L
+    independent hash tables of ``n_planes`` hyperplanes each; a pair is a
+    candidate if it collides in ANY table (recall 1-(1-p^k)^L at the cost
+    of L x rows through the shuffle). Use small k + larger L for weak
+    similarity thresholds, large k + small L for 0.95-style dedup.
 
     ``multiprobe=m`` additionally assigns each vector to the ``m`` buckets
     one bit-flip away with the smallest hyperplane margins (standard
@@ -528,6 +564,9 @@ def embedding_neardup_pairs(
     still meets in a probe bucket. Recall rises at the cost of (m+1)x rows
     through the shuffle; duplicate pair emissions are deduped per bucket
     group and the same (a, b) from different buckets is idempotent.
+
+    ``max_bucket`` bounds in-bucket all-pairs work: oversized buckets are
+    recursively split with fresh hyperplanes (see ``_subdivide_bucket``).
 
     ``n_planes=0`` degenerates to ONE bucket = exact all-pairs cosine —
     the oracle-checkable configuration (use only at test scale); pairs are
@@ -537,27 +576,35 @@ def embedding_neardup_pairs(
 
     def add_bucket(batch: pa.Table, planes=None) -> pa.Table:
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
-        margins = vecs @ planes.T  # (n, planes)
-        signs = margins > 0
-        bucket = np.zeros(len(vecs), dtype=np.int64)
-        for i in range(planes.shape[0]):
-            bucket |= signs[:, i].astype(np.int64) << i
-        if multiprobe and planes.shape[0]:
-            # Probe buckets: flip the `multiprobe` lowest-|margin| bits.
-            order = np.argsort(np.abs(margins), axis=1)[:, :multiprobe]
-            reps = [batch.append_column("bucket", pa.array(bucket))]
-            for j in range(order.shape[1]):
-                flipped = bucket ^ (np.int64(1) << order[:, j].astype(np.int64))
-                reps.append(
-                    batch.append_column("bucket", pa.array(flipped))
-                )
-            return pa.concat_tables(reps)
-        return batch.append_column("bucket", pa.array(bucket))
+        reps = []
+        for t in range(planes.shape[0]):
+            margins = vecs @ planes[t].T  # (n, k)
+            signs = margins > 0
+            bucket = np.full(len(vecs), np.int64(t) << 48, dtype=np.int64)
+            for i in range(planes.shape[1]):
+                bucket |= signs[:, i].astype(np.int64) << i
+            reps.append(batch.append_column("bucket", pa.array(bucket)))
+            if multiprobe and planes.shape[1]:
+                # Probe buckets: flip the `multiprobe` lowest-|margin| bits
+                # (table tag lives in high bits, untouched by the flip).
+                order = np.argsort(np.abs(margins), axis=1)[:, :multiprobe]
+                for j in range(order.shape[1]):
+                    flipped = bucket ^ (
+                        np.int64(1) << order[:, j].astype(np.int64)
+                    )
+                    reps.append(batch.append_column("bucket", pa.array(flipped)))
+        if not reps:  # n_planes == 0: single global bucket
+            return batch.append_column(
+                "bucket", pa.array(np.zeros(len(vecs), dtype=np.int64))
+            )
+        return pa.concat_tables(reps)
 
     # Deterministic planes; broadcast via closure capture (small).
     rng = np.random.RandomState(seed)
     dim = len(emb_ds.take(1)[0][vec_col])
-    planes = rng.randn(max(0, n_planes), dim).astype(np.float32)
+    k = max(0, n_planes)
+    L = max(1, n_tables) if k else 0
+    planes = rng.randn(L, k, dim).astype(np.float32)
 
     with_bucket = emb_ds.map_batches(
         lambda b: add_bucket(b, planes=planes), batch_format="pyarrow"
@@ -572,24 +619,41 @@ def embedding_neardup_pairs(
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1
         v = vecs / norms
-        sims = v @ v.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        mask = sims[ia, ib] >= threshold
-        return pd.DataFrame(
-            {
-                "a": ids[ia[mask]],
-                "b": ids[ib[mask]],
-                "cos": np.round(sims[ia[mask], ib[mask]], 6),
-            }
+        # Hot-bucket guard (approximate path only: the n_planes=0 exact
+        # configuration must stay all-pairs to remain oracle-checkable).
+        leaves = (
+            _subdivide_bucket(ids, v, max_bucket, seed)
+            if n_planes > 0 and max_bucket
+            else [np.arange(len(ids))]
+        )
+        frames = []
+        for leaf in leaves:
+            li, lv = ids[leaf], v[leaf]
+            sims = lv @ lv.T
+            ia, ib = np.triu_indices(len(li), k=1)
+            mask = sims[ia, ib] >= threshold
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "a": li[ia[mask]],
+                        "b": li[ib[mask]],
+                        "cos": np.round(sims[ia[mask], ib[mask]], 6),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "cos": pd.Series(dtype="float64")}
         )
 
     pairs = with_bucket.groupby("bucket").map_groups(
         pandas_udf(bucket_pairs), batch_format="pandas"
     )
-    if not multiprobe:
+    if not multiprobe and n_tables <= 1:
         return pairs
-    # Multi-probe can surface the same pair from several buckets: global
-    # distinct via per-'a' group dedup (bounded by pair count).
+    # Multi-probe / multi-table can surface the same pair from several
+    # buckets: global distinct via per-'a' group dedup (bounded by pair
+    # count).
     return pairs.groupby("a").map_groups(
         pandas_udf(lambda g: g.drop_duplicates(subset=["a", "b"])),
         batch_format="pandas",
