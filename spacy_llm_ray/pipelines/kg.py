@@ -61,15 +61,16 @@ def transcripts_dataset(sf_dir: str, columns=None):
     ``sf_dir`` is a testdata dir (basename sf*) or a generated-data dir."""
     import ray.data
 
+    from ..stages.arrow_utils import clean_read_schema
+
     data_dir = tdata.ensure_dataset(sf_dir)
+    path = f"{data_dir}/transcripts.parquet"
+    cols = columns or ["conv_id", "turn_idx", "role", "text"]
+    # Metadata-free schema at the read: parquet's b'pandas' metadata makes
+    # pa.Schema unhashable (pyarrow 16) and disables Ray's schema dedup in
+    # every downstream operator if it leaks into the blocks.
     return ray.data.read_parquet(
-        f"{data_dir}/transcripts.parquet",
-        columns=columns or ["conv_id", "turn_idx", "role", "text"],
-    ).map_batches(
-        # Strip parquet's b'pandas' schema metadata: it makes pa.Schema
-        # unhashable (pyarrow 16) and disables Ray's schema dedup downstream.
-        lambda t: t.replace_schema_metadata(None),
-        batch_format="pyarrow",
+        path, columns=cols, schema=clean_read_schema(path, cols)
     )
 
 

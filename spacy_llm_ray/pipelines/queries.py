@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 from ..data import transcripts as tdata
 from ..stages import ann as ann_mod
-from ..stages.arrow_utils import pandas_udf
+from ..stages.arrow_utils import clean_read_schema, pandas_udf
 from ..stages.dispatch import stage_map_batches
 from ..stages import dedup as dedup_mod
 from ..stages import textstats
@@ -56,9 +56,10 @@ def _strip_md(t: pa.Table) -> pa.Table:
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    path = os.path.join(sf_dir, f"{table}.parquet")
     return _rd().read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
-    ).map_batches(_strip_md, batch_format="pyarrow")
+        path, columns=columns, schema=clean_read_schema(path, columns)
+    )
 
 
 def _transcripts_sql_path(sf_dir: str = "/root/testdata/sf0.01") -> str:

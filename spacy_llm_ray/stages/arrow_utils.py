@@ -26,6 +26,26 @@ def clean(table: pa.Table) -> pa.Table:
     return table
 
 
+def clean_read_schema(path: str, columns=None) -> pa.Schema:
+    """Metadata-free read schema for ``read_parquet(schema=...)``: blocks
+    leave the read operator already hashable, so Ray's schema dedup works
+    from the first operator on (a post-read strip map fixes downstream
+    operators but not the read/split unify itself). ``path`` may be a
+    parquet file or a directory of parquet parts (schema of the first part,
+    which is uniform for our writers)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        inner = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        path = os.path.join(path, inner[0])
+    s = pq.read_schema(path).remove_metadata()
+    if columns:
+        s = pa.schema([s.field(c) for c in columns])
+    return s
+
+
 def df_table(df) -> pa.Table:
     """pandas DataFrame -> metadata-free Arrow table."""
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)

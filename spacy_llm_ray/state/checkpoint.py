@@ -240,11 +240,15 @@ def run_partitioned_kg(
                 "unit", pa.array(units, type=pa.int32())
             ).replace_schema_metadata(None)
 
+        from ..stages.arrow_utils import clean_read_schema
+
         tmp_in = input_dir + ".tmp"
         shutil.rmtree(tmp_in, ignore_errors=True)
+        in_cols = ["conv_id", "turn_idx", "role", "text"]
         ray.data.read_parquet(
             src_path,
-            columns=["conv_id", "turn_idx", "role", "text"],
+            columns=in_cols,
+            schema=clean_read_schema(src_path, in_cols),
         ).map_batches(add_unit, batch_format="pyarrow").write_parquet(
             tmp_in, partition_cols=["unit"]
         )
@@ -267,8 +271,13 @@ def run_partitioned_kg(
         t0 = time.monotonic()
         unit_path = os.path.join(input_dir, f"unit={unit}")
         if os.path.isdir(unit_path):
+            from ..stages.arrow_utils import clean_read_schema
+
+            unit_cols = ["conv_id", "turn_idx", "role", "text"]
             ds = ray.data.read_parquet(
-                unit_path, columns=["conv_id", "turn_idx", "role", "text"]
+                unit_path,
+                columns=unit_cols,
+                schema=clean_read_schema(unit_path, unit_cols),
             )
             # Row count from parquet footers (no data scan).
             n_turns = sum(
@@ -425,7 +434,11 @@ def run_partitioned_kg(
         for f in sorted(files)
         if f.endswith(".parquet")
     ]
-    raw = ray.data.read_parquet(raw_files)
+    from ..stages.arrow_utils import clean_read_schema
+
+    raw = ray.data.read_parquet(
+        raw_files, schema=clean_read_schema(raw_files[0])
+    )
     dedup = kg.distinct_triples(raw).materialize()
     mapping = build_canonical_mapping(dedup, kb)
     canon = canonicalize_triples(dedup, kb, mapping=mapping)
