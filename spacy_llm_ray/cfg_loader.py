@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import configparser
 import json
+import os
 import re
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple, Union
@@ -105,7 +106,16 @@ def load_cfg(source: Union[str, Path], overrides: Optional[Dict[str, Any]] = Non
     """Load a .cfg file (or raw text) into the nested dict form.
     ``overrides`` maps dotted paths (e.g. ``"paths.examples"``) to values,
     like spaCy's ``--paths.examples`` CLI overrides."""
-    text = source if "\n" in str(source) else Path(source).read_text()
+    # A Path (or an existing file path) is read from disk; anything else is
+    # treated as raw cfg text — a single-line raw string must not be
+    # misrouted to the filesystem (it would FileNotFoundError or, worse,
+    # read an unintended file that happens to exist).
+    if isinstance(source, Path):
+        text = source.read_text()
+    elif "\n" not in str(source) and os.path.exists(str(source)):
+        text = Path(source).read_text()
+    else:
+        text = str(source)
     # Overrides land BEFORE interpolation so ${paths.x} picks them up.
     cfg = parse_cfg(text, interpolate=False)
     for dotted, value in (overrides or {}).items():

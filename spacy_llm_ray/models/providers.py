@@ -348,13 +348,14 @@ class AnthropicProvider(RESTProvider):
         }
 
     def _request_bodies(self, prompts: List[str]) -> List[Dict[str, Any]]:
-        cfg = {
-            k: v for k, v in self._config.items() if k != "anthropic-version"
-        }
+        # The full config dict rides in the body as well as the header,
+        # matching the reference request shape exactly
+        # (/root/reference/spacy_llm/models/rest/anthropic/model.py:66-72:
+        # json={**json_data, **self._config, "model": self._name}).
         return [
             {
                 "prompt": f"{self.HUMAN} {p}{self.ASST}",
-                **cfg,
+                **self._config,
                 "model": self._name,
             }
             for p in prompts

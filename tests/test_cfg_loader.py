@@ -273,3 +273,11 @@ prefix = "KG"
 labels = ["${vars.prefix}-PER", "${vars.prefix}-ORG"]
 """)
     assert cfg["x"]["labels"] == ["KG-PER", "KG-ORG"]
+
+
+def test_single_line_raw_cfg_not_treated_as_path():
+    # A raw cfg string without a newline must parse as text, not be routed
+    # to Path(...).read_text() (ADVICE r2: FileNotFoundError / wrong-file
+    # read). A single "[section]" line is the minimal such input.
+    cfg = load_cfg("[paths]")
+    assert cfg == {"paths": {}}
