@@ -259,3 +259,47 @@ def test_mistral_instruct_envelope_and_device_move(fake_hf):
     m2 = hf.Mistral(name="Mistral-7B-v0.1")
     m2(["hello"])
     assert seen["prompts"][0] == "hello"
+
+
+# ---------------------------------------------------------------- real torch
+# r2 VERDICT #9: exercise the real-torch execution path wherever torch
+# exists. This sandbox has neither torch nor network, so the test is
+# importorskip-gated; in any torch-enabled environment it runs a real
+# CPU generate through _CausalLMModel.__call__ (real tensors, real
+# generate/batch_decode) against a tiny locally-constructed GPT-2 — no
+# network access needed (no from_pretrained download).
+def test_causal_lm_real_torch_cpu_generate():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    cfg = transformers.GPT2Config(
+        vocab_size=64, n_positions=32, n_embd=16, n_layer=1, n_head=2
+    )
+    torch.manual_seed(0)
+    tiny = transformers.GPT2LMHeadModel(cfg).eval()
+
+    class TinyTok:
+        # Minimal tokenizer facade with the surface __call__ uses:
+        # tokenizer(prompt, return_tensors="pt") -> BatchEncoding-like,
+        # batch_decode(ids, skip_special_tokens=...).
+        def __call__(self, text, return_tensors=None):
+            ids = torch.tensor(
+                [[min(ord(c) % 64, 63) for c in text[:16]]], dtype=torch.long
+            )
+            return transformers.BatchEncoding(
+                {"input_ids": ids, "attention_mask": torch.ones_like(ids)},
+                tensor_type=None,
+            )
+
+        def batch_decode(self, ids, skip_special_tokens=True):
+            return ["".join(chr(65 + int(i) % 26) for i in row) for row in ids]
+
+    model = hf.Llama2.__new__(hf.Llama2)
+    model._name = "tiny-local"
+    model._config_init = {}
+    model._config_run = {"max_new_tokens": 4, "do_sample": False}
+    model._tokenizer = TinyTok()
+    model._model = tiny
+
+    out = hf._CausalLMModel.__call__(model, ["hello world"])
+    assert len(out) == 1 and isinstance(out[0], str) and len(out[0]) == 4
