@@ -277,6 +277,7 @@ def kg_triples_dataset(
     kb: Optional[InMemoryKB] = None,
     batch_size: int = 64,
     phase_barriers: bool = True,
+    distributed_canon: bool = False,
 ):
     """Full pipeline -> distinct canonical triples Dataset.
 
@@ -290,6 +291,16 @@ def kg_triples_dataset(
     so streaming assembly into it starves the shuffle and serializes poorly —
     phase isolation is faster. On a large multi-node cluster with the
     checkpointed runner, partitions stream instead.
+
+    ``distributed_canon`` switches the canonical mapping from the default
+    driver union-find + broadcast dict (bounded by vocabulary — right up to
+    ~10^7 distinct surface/qid pairs) to the fully distributed
+    connected-components + hash-join path (stages/canonicalize.py
+    ``build_canonical_mapping_dataset`` / ``canonicalize_triples_joined``),
+    which never materializes the pair set on one machine. Output is
+    byte-identical (tested); the broadcast path stays the single-node
+    default because two extra corpus joins cost more than they save below
+    vocabulary scale.
     """
     kb = kb or tdata.build_kb()
     docs = documents_dataset(sf_dir, max_doc_turns=MAX_DOC_TURNS)
@@ -305,6 +316,15 @@ def kg_triples_dataset(
     # distinct-first shrinks every later pass. The distinct set is materialized
     # once; the mapping pass and the apply pass both read it.
     dedup = distinct_triples(raw_triples).materialize()
-    mapping = build_canonical_mapping(dedup, kb)
-    canon = canonicalize_triples(dedup, kb, mapping=mapping)
+    if distributed_canon:
+        from ..stages.canonicalize import (
+            build_canonical_mapping_dataset,
+            canonicalize_triples_joined,
+        )
+
+        mapping_ds = build_canonical_mapping_dataset(dedup, kb)
+        canon = canonicalize_triples_joined(dedup, mapping_ds)
+    else:
+        mapping = build_canonical_mapping(dedup, kb)
+        canon = canonicalize_triples(dedup, kb, mapping=mapping)
     return canon.select_columns(FINAL_COLUMNS)

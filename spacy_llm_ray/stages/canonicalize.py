@@ -168,6 +168,328 @@ def _apply_canonical(batch: pa.Table, mapping_ref=None) -> pa.Table:
     return batch
 
 
+# ---------------------------------------------------------------------------
+# Fully distributed mapping (100-TB path).
+#
+# The driver union-find above is bounded by VOCABULARY (distinct surface/qid
+# pairs), which is fine up to ~10^7 pairs. Past that — open-domain corpora
+# where surface forms grow with data — the variant below computes the same
+# mapping with no driver-side pair set: connected components via alternating
+# min-label propagation over the bipartite surface<->qid graph (the
+# "hash-to-min" scheme of Rastogi et al., converges in O(diameter) rounds;
+# entity-link components are shallow, so 2-4 rounds in practice). Each round
+# is two small hash joins + two bucketed group-mins over the DISTINCT pair
+# set — never the triple table.
+# ---------------------------------------------------------------------------
+
+
+_LBL = pa.schema([("snode", pa.string()), ("label", pa.string())])
+
+
+def _bucketed_group_min(ds, key: str, val: str, out_schema, n_buckets: int = 32):
+    """min(val) per key via hash-bucket groupby (vocab-scale data)."""
+    import pandas as pd
+
+    from .arrow_utils import pandas_udf
+
+    def add_b(batch: pa.Table) -> pa.Table:
+        h = (
+            pd.util.hash_pandas_object(batch[key].to_pandas(), index=False).to_numpy()
+            % n_buckets
+        )
+        return batch.append_column("_b", pa.array(h.astype("int32")))
+
+    def gmin(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key, as_index=False)[val].min()
+
+    out = (
+        ds.map_batches(add_b, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(pandas_udf(gmin), batch_format="pandas")
+    )
+    # Pin the schema: map_groups emits schema-less empty blocks for empty
+    # buckets, which downstream joins reject.
+    def coerce(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or key not in batch.column_names:
+            return out_schema.empty_table()
+        return batch.select([f.name for f in out_schema]).cast(out_schema)
+
+    # repartition: map_groups emits schema-less empty blocks for empty
+    # buckets; they BYPASS map_batches UDFs (so coerce can't fix them) and
+    # crash any downstream hash join — rebuilding blocks drops them.
+    return out.map_batches(coerce, batch_format="pyarrow").repartition(4)
+
+
+def distinct_pairs_dataset(triples_ds, n_buckets: int = 32):
+    """Globally distinct (surface, qid, snode) pairs of a triples Dataset."""
+    import pandas as pd
+
+    from .arrow_utils import pandas_udf
+
+    def add_cols(batch: pa.Table) -> pa.Table:
+        surf = batch["surface"].to_pandas()
+        snode = "s:" + surf.str.strip().str.lower()  # lowercase_normalizer, vectorized
+        h = (
+            pd.util.hash_pandas_object(surf, index=False).to_numpy() % n_buckets
+        )
+        return batch.append_column("snode", pa.array(snode.tolist())).append_column(
+            "_b", pa.array(h.astype("int32"))
+        )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["surface", "qid", "snode"]].drop_duplicates()
+
+    schema = pa.schema(
+        [("surface", pa.string()), ("qid", pa.string()), ("snode", pa.string())]
+    )
+
+    out = (
+        triples_ds.map_batches(_extract_pairs, batch_format="pyarrow")
+        .map_batches(add_cols, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(pandas_udf(dedup), batch_format="pandas")
+    )
+
+    def coerce(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "surface" not in batch.column_names:
+            return schema.empty_table()
+        return batch.select(["surface", "qid", "snode"]).cast(schema)
+
+    # See _bucketed_group_min: rebuild blocks so map_groups empties never
+    # reach a join.
+    return out.map_batches(coerce, batch_format="pyarrow").repartition(4)
+
+
+def build_canonical_mapping_dataset(
+    triples_ds, kb: InMemoryKB, *, max_iters: int = 25, num_partitions: int = 4
+):
+    """Distributed equivalent of :func:`build_canonical_mapping`.
+
+    Returns a Dataset with columns (surface, canon_id, canon_name) — byte-
+    equal to the driver union-find mapping (tested) — built without ever
+    materializing the pair set on one machine.
+    """
+    import pandas as pd
+
+    from .arrow_utils import pandas_udf
+
+    pairs = distinct_pairs_dataset(triples_ds).materialize()
+
+    # Bipartite edges: normalized surface node <-> non-NIL qid.
+    edges = pairs.filter(
+        expr=f"qid != '{NIL}'"
+    ).map_batches(
+        lambda b: b.select(["snode", "qid"]), batch_format="pyarrow"
+    ).materialize()
+
+    # Init: every snode labels itself. ("s|" > "q|" lexicographically, so a
+    # component's min label becomes its min qid node once one propagates in.)
+    def init_labels(batch: pa.Table) -> pa.Table:
+        sn = pa.array(sorted(set(batch["snode"].to_pylist())))
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"snode": sn, "label": pc.binary_join_element_wise("s|", sn, "")}
+        )
+
+    labels = (
+        pairs.map_batches(init_labels, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.cast(_LBL), batch_format="pyarrow"
+        )
+    )
+    # Global distinct over per-batch inits.
+    labels = _bucketed_group_min(labels, "snode", "label", _LBL).materialize()
+
+    qlab_schema = pa.schema([("qid", pa.string()), ("qlabel", pa.string())])
+    cand_schema = pa.schema([("snode", pa.string()), ("cand", pa.string())])
+
+    for _ in range(max_iters):
+        # q-side: min over incident snode labels, then own key.
+        e1 = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("snode",),
+        ).map_batches(
+            lambda b: pa.table({"qid": b["qid"], "qlabel": b["label"]}),
+            batch_format="pyarrow",
+        )
+        lq = _bucketed_group_min(e1, "qid", "qlabel", qlab_schema)
+
+        def own_q(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                # pandas round-trips on empty blocks degrade string columns
+                # to null type, which breaks the downstream hash join.
+                return qlab_schema.empty_table()
+            df = batch.to_pandas()
+            own = "q|" + df["qid"]
+            df["qlabel"] = df["qlabel"].where(df["qlabel"] < own, own)
+            from .arrow_utils import df_table
+
+            return df_table(df)
+
+        lq = lq.map_batches(own_q, batch_format="pyarrow")
+
+        # s-side: min over incident qid labels.
+        e2 = edges.join(
+            lq, join_type="inner", num_partitions=num_partitions, on=("qid",)
+        ).map_batches(
+            lambda b: pa.table({"snode": b["snode"], "cand": b["qlabel"]}),
+            batch_format="pyarrow",
+        )
+        cand = _bucketed_group_min(e2, "snode", "cand", cand_schema)
+
+        # Element-wise min with previous labels; left join keeps edge-less
+        # singleton snodes.
+        merged = labels.join(
+            cand,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("snode",),
+        )
+
+        _min_schema = pa.schema(
+            [("snode", pa.string()), ("label", pa.string()), ("chg", pa.int64())]
+        )
+
+        def take_min(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _min_schema.empty_table()
+            df = batch.to_pandas()
+            better = df["cand"].notna() & (df["cand"] < df["label"])
+            df["chg"] = better.astype("int64")
+            df.loc[better, "label"] = df.loc[better, "cand"]
+            from .arrow_utils import df_table
+
+            return df_table(df[["snode", "label", "chg"]])
+
+        merged = merged.map_batches(take_min, batch_format="pyarrow").materialize()
+        changed = merged.sum("chg")
+        labels = merged.map_batches(
+            lambda b: b.select(["snode", "label"]).cast(_LBL),
+            batch_format="pyarrow",
+        ).materialize()
+        if not changed:
+            break
+
+    # Per-component canonical pick (comp tables are vocab-scale).
+    kb_names = {qid: ent[0] for qid, ent in kb.entities.items()}
+
+    with_comp = pairs.join(
+        labels, join_type="inner", num_partitions=num_partitions, on=("snode",)
+    ).map_batches(
+        lambda b: pa.table(
+            {"surface": b["surface"], "qid": b["qid"], "comp": b["label"]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def add_cb(batch: pa.Table) -> pa.Table:
+        h = (
+            pd.util.hash_pandas_object(batch["comp"].to_pandas(), index=False)
+            .to_numpy()
+            % 32
+        )
+        return batch.append_column("_b", pa.array(h.astype("int32")))
+
+    def canon_rows(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for comp, sub in g.groupby("comp", sort=False):
+            qids = sorted(
+                {q for q in sub["qid"] if q != NIL}, key=_qid_sort_key
+            )
+            min_surface = sub["surface"].min()
+            if qids:
+                cid = qids[0]
+                name = kb_names.get(cid) or min_surface
+            else:
+                name = min_surface
+                cid = "S:" + lowercase_normalizer(name)
+            out.append((comp, cid, name))
+        return pd.DataFrame(out, columns=["comp", "canon_id", "canon_name"])
+
+    canon_schema = pa.schema(
+        [("comp", pa.string()), ("canon_id", pa.string()), ("canon_name", pa.string())]
+    )
+    comp_canon = (
+        with_comp.map_batches(add_cb, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(pandas_udf(canon_rows), batch_format="pandas")
+    )
+
+    def coerce_canon(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "comp" not in batch.column_names:
+            return canon_schema.empty_table()
+        return batch.select(["comp", "canon_id", "canon_name"]).cast(canon_schema)
+
+    comp_canon = comp_canon.map_batches(
+        coerce_canon, batch_format="pyarrow"
+    ).repartition(4)
+
+    surf_schema = pa.schema([("surface", pa.string()), ("comp", pa.string())])
+    surf_comp = _bucketed_group_min(
+        with_comp.map_batches(
+            lambda b: b.select(["surface", "comp"]), batch_format="pyarrow"
+        ),
+        "surface",
+        "comp",
+        surf_schema,
+    )
+    return surf_comp.join(
+        comp_canon, join_type="inner", num_partitions=num_partitions, on=("comp",)
+    ).map_batches(
+        lambda b: b.select(["surface", "canon_id", "canon_name"]),
+        batch_format="pyarrow",
+    ).repartition(num_partitions)  # joins also emit schema-less empties
+
+
+def canonicalize_triples_joined(triples_ds, mapping_ds, num_partitions: int = 8):
+    """Join-based apply for when the mapping exceeds driver/broadcast size:
+    two hash joins (subj, obj) against the (surface, canon_id, canon_name)
+    mapping Dataset instead of a broadcast dict. Output columns match
+    :func:`canonicalize_triples`."""
+    out = triples_ds
+    for side in ("subj", "obj"):
+        m = mapping_ds.map_batches(
+            lambda b, s=side: pa.table(
+                {
+                    f"_{s}_key": b["surface"],
+                    f"{s}_canon_id": b["canon_id"],
+                    f"{s}_canon": b["canon_name"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        out = out.join(
+            m,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=(side,),
+            right_on=(f"_{side}_key",),
+        ).repartition(num_partitions)  # rebuild blocks: a join's empty
+        # output blocks are schema-less and crash the next join
+
+    def fill_missing(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        for side in ("subj", "obj"):
+            missing = df[f"{side}_canon_id"].isna()
+            if missing.any():
+                fallback = df.loc[missing, side]
+                df.loc[missing, f"{side}_canon_id"] = fallback.map(
+                    lambda s: "S:" + lowercase_normalizer(s)
+                )
+                df.loc[missing, f"{side}_canon"] = fallback
+        drop = [c for c in df.columns if c.startswith("_")]
+        from .arrow_utils import df_table
+
+        return df_table(df.drop(columns=drop))
+
+    return out.map_batches(fill_missing, batch_format="pyarrow")
+
+
 def canonicalize_triples(triples_ds, kb: InMemoryKB, mapping=None):
     """Append subj_canon/obj_canon (+ canonical ids) to a triples Dataset.
 

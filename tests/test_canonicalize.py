@@ -100,3 +100,85 @@ def test_apply_canonical_columns(ray_session, kb):
     row = out.iloc[0]
     assert row["subj_canon"] == "Acme Corporation" and row["subj_canon_id"] == "Q2"
     assert row["obj_canon"] == "Zorblat" and row["obj_canon_id"] == "S:zorblat"
+
+
+_CHAIN_ROWS = [
+    # One multi-hop component: s1-Q2, bridge-Q2, bridge-Q60, s3-Q60 — the
+    # min label must propagate two hops (s1 .. s3) through the bipartite
+    # graph, exercising >1 propagation round.
+    ("c1", "Acme Corp", "Q2", "pad1", "NIL"),
+    ("c2", "The Bridge", "Q2", "pad2", "NIL"),
+    ("c3", "The Bridge", "Q60", "pad3", "NIL"),
+    ("c4", "Gotham", "Q60", "pad4", "NIL"),
+    # Case-folded surface equivalence into the same component.
+    ("c5", "ACME CORP", "NIL", "pad5", "NIL"),
+    # Pure-NIL singleton surfaces.
+    ("c6", "Zorblat", "NIL", "Blarg", "NIL"),
+]
+
+
+def test_distributed_mapping_matches_driver(ray_session, kb):
+    from spacy_llm_ray.stages.canonicalize import build_canonical_mapping_dataset
+
+    ds = _triples_ds(_CHAIN_ROWS)
+    expected = build_canonical_mapping(_triples_ds(_CHAIN_ROWS), kb)
+    got = {
+        r["surface"]: (r["canon_id"], r["canon_name"])
+        for r in build_canonical_mapping_dataset(ds, kb).take_all()
+    }
+    assert got == expected
+    # The whole chain collapsed to one canonical entity.
+    assert got["Gotham"] == ("Q2", "Acme Corporation")
+    assert got["ACME CORP"] == ("Q2", "Acme Corporation")
+    assert got["Zorblat"][0] == "S:zorblat"
+
+
+def test_canonicalize_joined_matches_broadcast(ray_session, kb):
+    from spacy_llm_ray.stages.canonicalize import (
+        build_canonical_mapping_dataset,
+        canonicalize_triples_joined,
+    )
+
+    mapping_ds = build_canonical_mapping_dataset(_triples_ds(_CHAIN_ROWS), kb)
+    joined = (
+        canonicalize_triples_joined(_triples_ds(_CHAIN_ROWS), mapping_ds)
+        .to_pandas()
+        .sort_values(["conv_id"])
+        .reset_index(drop=True)
+    )
+    broadcast = (
+        canonicalize_triples(_triples_ds(_CHAIN_ROWS), kb)
+        .to_pandas()
+        .sort_values(["conv_id"])
+        .reset_index(drop=True)
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(
+        joined[sorted(joined.columns)], broadcast[sorted(broadcast.columns)]
+    )
+
+
+def test_kg_triples_distributed_canon_end_to_end(ray_session):
+    """The full flagship pipeline with distributed_canon=True produces the
+    identical canonical triple table to the default broadcast path."""
+    from spacy_llm_ray.data import ensure_dataset
+    from spacy_llm_ray.pipelines import kg
+
+    sf = ensure_dataset("sf0.001")
+    cols = list(kg.FINAL_COLUMNS)
+    base = (
+        kg.kg_triples_dataset(sf)
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    dist = (
+        kg.kg_triples_dataset(sf, distributed_canon=True)
+        .to_pandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(dist, base)
