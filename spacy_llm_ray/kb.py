@@ -88,6 +88,71 @@ def kb_from_yaml(path: str) -> InMemoryKB:
     return kb_from_dicts(data["entities"], data["aliases"])
 
 
+def kb_from_spacy_dir(
+    path: str,
+    nlp_path: Optional[str] = None,
+    desc_path: Optional[str] = None,
+    ent_desc_reader=None,
+) -> InMemoryKB:
+    """Load a serialized spaCy ``InMemoryLookupKB`` directory into the
+    engine's :class:`InMemoryKB` (the reference's ``KBObjectLoader``,
+    /root/reference/spacy_llm/tasks/entity_linker/util.py:123-157).
+
+    Import-gated: requires ``spacy`` (not installed in this sandbox — the
+    conversion logic below is exercised only where spacy is importable,
+    mirroring the HF real-weights path). Semantics mirror the reference:
+    the pipeline at ``nlp_path`` (default: two levels above ``path``)
+    provides the vocab; entity descriptions come from ``desc_path`` via
+    ``ent_desc_reader`` (default: ``readers.ent_desc_reader_csv``) since a
+    serialized spaCy KB stores no descriptions.
+    """
+    try:
+        import spacy
+        from spacy.kb import InMemoryLookupKB
+    except ImportError as err:  # pragma: no cover - spacy absent here
+        raise ImportError(
+            "kb_from_spacy_dir requires spacy; install spacy or load the KB "
+            "from YAML (kb_from_yaml) / Parquet (kb_from_parquet) instead"
+        ) from err
+
+    from pathlib import Path
+
+    kb_path = Path(path)
+    load_from = Path(nlp_path) if nlp_path else kb_path.parent.parent
+    try:
+        nlp = spacy.load(load_from)
+    except IOError as err:
+        raise ValueError(
+            f"Pipeline at path {load_from} could not be loaded. Make sure to "
+            "specify the correct path."
+        ) from err
+    lookup_kb = InMemoryLookupKB(nlp.vocab, entity_vector_length=1)
+    lookup_kb.from_disk(kb_path)
+
+    if desc_path:
+        if ent_desc_reader is None:
+            from .readers import ent_desc_reader_csv
+
+            ent_desc_reader = ent_desc_reader_csv
+        descs = ent_desc_reader(desc_path)
+    else:
+        descs = {}
+
+    kb = InMemoryKB()
+    for qid in lookup_kb.get_entity_strings():
+        # spaCy KBs carry no entity names; canonicalization falls back to
+        # the component-min surface when the name is empty.
+        kb.add_entity(qid, "", descs.get(qid, ""))
+    for alias in lookup_kb.get_alias_strings():
+        cands = lookup_kb.get_alias_candidates(alias)
+        kb.add_alias(
+            alias,
+            [c.entity_ for c in cands],
+            [c.prior_prob for c in cands],
+        )
+    return kb
+
+
 def kb_from_parquet(entities_path: str, aliases_path: str) -> InMemoryKB:
     """Tabular KB artifact: entities(qid, name, desc) + aliases(alias, qid, prior)."""
     import pyarrow.parquet as pq

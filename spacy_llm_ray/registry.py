@@ -227,6 +227,14 @@ def _kb_file_loader_factory(path):
     return kbmod.kb_from_yaml(path)
 
 
+def _kb_object_loader_factory(path, nlp_path=None, desc_path=None, ent_desc_reader=None):
+    from . import kb as kbmod
+
+    return kbmod.kb_from_spacy_dir(
+        path, nlp_path=nlp_path, desc_path=desc_path, ent_desc_reader=ent_desc_reader
+    )
+
+
 _MISC: Dict[str, Callable] = {
     "spacy.NTokenEstimator.v1": lambda: _sharding.count_tokens_by_spaces,
     "spacy.ShardMapper.v1": _sharding.make_shard_mapper,
@@ -235,6 +243,9 @@ _MISC: Dict[str, Callable] = {
     "spacy.FewShotReader.v1": _fewshot_reader_factory,
     "spacy.FileReader.v1": _file_reader_factory,
     "spacy.KBFileLoader.v1": _kb_file_loader_factory,
+    # Import-gated on spacy (like the HF real-weights path): loads a
+    # serialized spaCy InMemoryLookupKB directory.
+    "spacy.KBObjectLoader.v1": _kb_object_loader_factory,
 }
 
 

@@ -91,3 +91,71 @@ def test_kb_unknown_alias_entity_raises():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_kb_object_loader_requires_spacy():
+    """kb_from_spacy_dir is import-gated on spacy (absent in this sandbox)."""
+    import pytest
+
+    from spacy_llm_ray.kb import kb_from_spacy_dir
+    from spacy_llm_ray.registry import get_misc
+
+    try:
+        import spacy  # noqa: F401
+
+        pytest.skip("spacy installed; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="kb_from_spacy_dir requires spacy"):
+        kb_from_spacy_dir("/tmp/nonexistent_kb_dir")
+    # The registry resolves the reference's name to the gated loader.
+    assert get_misc("spacy.KBObjectLoader.v1") is not None
+
+
+def test_kb_object_loader_conversion_with_fake_spacy(monkeypatch, tmp_path):
+    """Conversion logic from a spaCy InMemoryLookupKB to the engine KB,
+    driven by a fake spacy module (mirrors the fakes-driven HF tests)."""
+    import sys
+    import types
+
+    class _Cand:
+        def __init__(self, qid, prior):
+            self.entity_ = qid
+            self.prior_prob = prior
+
+    class _FakeLookupKB:
+        def __init__(self, vocab, entity_vector_length=1):
+            pass
+
+        def from_disk(self, path):
+            self._loaded = str(path)
+
+        def get_entity_strings(self):
+            return ["Q2", "Q60"]
+
+        def get_alias_strings(self):
+            return ["Acme"]
+
+        def get_alias_candidates(self, alias):
+            return [_Cand("Q2", 0.9), _Cand("Q60", 0.1)]
+
+    fake_spacy = types.ModuleType("spacy")
+    fake_spacy.load = lambda p: types.SimpleNamespace(vocab=object())
+    fake_kb_mod = types.ModuleType("spacy.kb")
+    fake_kb_mod.InMemoryLookupKB = _FakeLookupKB
+    fake_spacy.kb = fake_kb_mod
+    monkeypatch.setitem(sys.modules, "spacy", fake_spacy)
+    monkeypatch.setitem(sys.modules, "spacy.kb", fake_kb_mod)
+
+    desc = tmp_path / "descs.csv"
+    desc.write_text("Q2;Acme Corp manufacturer\nQ60;NYC\n")
+
+    from spacy_llm_ray.kb import kb_from_spacy_dir
+
+    kb = kb_from_spacy_dir(
+        str(tmp_path / "kb"), nlp_path=str(tmp_path), desc_path=str(desc)
+    )
+    assert set(kb.entities) == {"Q2", "Q60"}
+    assert kb.get_entity_description("Q2") == "Acme Corp manufacturer"
+    cands = kb.get_candidates("Acme", top_n=2)
+    assert [c.id for c in cands] == ["Q2", "Q60"]
