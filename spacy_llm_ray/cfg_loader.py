@@ -183,19 +183,21 @@ def _resolve_section(section: Any) -> Any:
     return resolved
 
 
-def build_pipeline(source: Union[str, Path],
+def build_pipeline(source: Union[str, Path, Dict[str, Any]],
                    overrides: Optional[Dict[str, Any]] = None,
                    models: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     """Build the LLM components described by a spacy-llm .cfg.
 
-    Returns ``{"components": {name: stage}, "order": [...], "skipped":
-    [...], "config": nested_cfg}``. ``models`` optionally overrides the
-    built model per component name (e.g. to inject a mock/transport-wired
-    model for offline runs)."""
+    ``source`` may also be an already-parsed nested config dict (the
+    serde path: AssembledPipeline.from_bytes rebuilds from the embedded
+    config). Returns ``{"components": {name: stage}, "order": [...],
+    "skipped": [...], "config": nested_cfg}``. ``models`` optionally
+    overrides the built model per component name (e.g. to inject a
+    mock/transport-wired model for offline runs)."""
     from .normalizers import split_labels
     from .registry import make_task
 
-    cfg = load_cfg(source, overrides)
+    cfg = source if isinstance(source, dict) else load_cfg(source, overrides)
     pipeline_order = (cfg.get("nlp") or {}).get("pipeline") or []
     components_cfg = cfg.get("components") or {}
     init_cfg = (cfg.get("initialize") or {}).get("components") or {}
@@ -303,6 +305,106 @@ class AssembledPipeline:
                 batch_size=batch_size,
             )
         return ds
+
+    # -- byte / disk serde ------------------------------------------------
+    # Mirrors the reference's BuiltinTask.to_bytes/from_bytes contract
+    # (/root/reference/spacy_llm/tasks/builtin_task.py:175-255): two
+    # sections, "cfg" (the full resolved config) and "prompt_examples"
+    # (per-component example dicts, which take precedence over
+    # config-initialized examples on load — the reference's semantics).
+    # The reference's envelope is srsly msgpack (spacy util.to_bytes);
+    # srsly isn't installed here, so the envelope is a deterministic,
+    # version-tagged JSON+base64 blob. Models are NOT serialized (same as
+    # the reference — they're config-built); pass ``models=`` on load to
+    # inject offline/mocked model objects.
+
+    _SERDE_VERSION = 1
+
+    def to_bytes(self, *, exclude: tuple = ()) -> bytes:
+        import base64
+
+        sections: Dict[str, bytes] = {}
+        if "cfg" not in exclude:
+            sections["cfg"] = json.dumps(
+                self.config, sort_keys=True, default=str
+            ).encode()
+        if "prompt_examples" not in exclude:
+            from .tasks.examples import examples_to_dicts
+
+            examples = {
+                name: examples_to_dicts(getattr(comp, "_examples", None))
+                for name, comp in self.components.items()
+            }
+            sections["prompt_examples"] = json.dumps(
+                examples, sort_keys=True, default=str
+            ).encode()
+        payload = {
+            "__version__": self._SERDE_VERSION,
+            "sections": {
+                k: base64.b64encode(v).decode() for k, v in sections.items()
+            },
+        }
+        return json.dumps(payload, sort_keys=True).encode()
+
+    @classmethod
+    def from_bytes(
+        cls,
+        data: bytes,
+        *,
+        models: Optional[Dict[str, Any]] = None,
+        exclude: tuple = (),
+    ) -> "AssembledPipeline":
+        import base64
+
+        payload = json.loads(data.decode())
+        version = payload.get("__version__")
+        if version != cls._SERDE_VERSION:
+            raise ValueError(
+                f"unsupported AssembledPipeline serde version {version!r}"
+            )
+        sections = {
+            k: base64.b64decode(v) for k, v in payload["sections"].items()
+        }
+        if "cfg" not in sections:
+            raise ValueError("serialized pipeline has no 'cfg' section")
+        cfg = json.loads(sections["cfg"].decode())
+        built = build_pipeline(cfg, models=models)
+        pipe = cls(
+            built["components"], built["order"], built["skipped"], built["config"]
+        )
+        if "prompt_examples" in sections and "prompt_examples" not in exclude:
+            for name, examples in json.loads(
+                sections["prompt_examples"].decode()
+            ).items():
+                comp = pipe.components.get(name)
+                if comp is None or examples is None:
+                    continue
+                if hasattr(comp, "set_examples"):
+                    comp.set_examples(examples)
+                else:
+                    comp._examples = list(examples)
+        return pipe
+
+    def to_disk(self, path: Union[str, Path], *, exclude: tuple = ()) -> None:
+        """Section-per-file directory layout (the reference writes cfg +
+        prompt_examples files via spacy's util.to_disk)."""
+        p = Path(path)
+        p.mkdir(parents=True, exist_ok=True)
+        (p / "pipeline.bytes").write_bytes(self.to_bytes(exclude=exclude))
+
+    @classmethod
+    def from_disk(
+        cls,
+        path: Union[str, Path],
+        *,
+        models: Optional[Dict[str, Any]] = None,
+        exclude: tuple = (),
+    ) -> "AssembledPipeline":
+        return cls.from_bytes(
+            (Path(path) / "pipeline.bytes").read_bytes(),
+            models=models,
+            exclude=exclude,
+        )
 
 
 def assemble(config_path: Union[str, Path], *,

@@ -87,6 +87,20 @@ class _ShardingMixin:
     render all prompts, make ONE model call, then iterate (doc, shards,
     responses) triples."""
 
+    _example_type = None  # set by stages that accept few-shot examples
+
+    def set_examples(self, examples) -> None:
+        """Install few-shot examples (reader dicts or example objects) —
+        the reference's ``_set_prompt_examples`` (builtin_task.py:165-173):
+        dicts are validated/coerced into the stage's example type, so both
+        cfg-loaded reader output and serde-restored dicts render correctly."""
+        from ..tasks.examples import coerce_examples
+
+        if self._example_type is not None:
+            self._examples = coerce_examples(examples, self._example_type)
+        else:
+            self._examples = list(examples) if examples else None
+
     def _map_and_call(self, items: List[tuple], render: Callable):
         """items: list of (text, tokens). render(shard_text, i, n) -> prompt.
         Returns list of (shards, responses) aligned with items.
@@ -186,7 +200,10 @@ class NerStage(_ShardingMixin):
         self._labels = list(labels)
         self._label_definitions = label_definitions
         self._description = description
-        self._examples = list(examples) if examples else None
+        from ..tasks.examples import SpanCoTExample, SpanExample
+
+        self._example_type = SpanCoTExample if cot else SpanExample
+        self.set_examples(examples)
         self._cot = cot
         self._assign = assign
         self._text_col = text_col
@@ -278,7 +295,10 @@ class RelStage(_ShardingMixin):
         self._model = _maybe_get(model)
         self._labels = list(labels)
         self._label_definitions = label_definitions
-        self._examples = list(examples) if examples else None
+        from ..tasks.examples import RELExample
+
+        self._example_type = RELExample
+        self.set_examples(examples)
         self._text_col = text_col
         self._mentions_col = mentions_col
         self._out_col = out_col
@@ -350,7 +370,10 @@ class ElStage(_ShardingMixin):
         self._kb: InMemoryKB = _maybe_get(kb)
         self._model = _maybe_get(model)
         self._top_n = top_n
-        self._examples = list(examples) if examples else None
+        from ..tasks.examples import ELExample
+
+        self._example_type = ELExample
+        self.set_examples(examples)
         self._text_col = text_col
         self._mentions_col = mentions_col
         self._save_io = save_io

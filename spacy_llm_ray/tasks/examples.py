@@ -110,3 +110,26 @@ class TextCatExample:
     @classmethod
     def from_dict(cls, d: Dict) -> "TextCatExample":
         return cls(text=d["text"], answer=str(d["answer"]))
+
+
+def coerce_examples(examples, ex_type):
+    """Accept reader output (list of dicts) or already-built example objects;
+    dicts are converted via ``ex_type.from_dict`` (the reference validates
+    reader dicts into pydantic example models the same way,
+    builtin_task.py:170-173)."""
+    if not examples:
+        return None
+    return [ex_type.from_dict(e) if isinstance(e, dict) else e for e in examples]
+
+
+def examples_to_dicts(examples):
+    """Inverse of :func:`coerce_examples` for serialization (dataclasses ->
+    plain dicts; dicts pass through)."""
+    import dataclasses
+
+    if not examples:
+        return None
+    return [
+        dataclasses.asdict(e) if dataclasses.is_dataclass(e) else dict(e)
+        for e in examples
+    ]

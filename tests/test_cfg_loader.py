@@ -281,3 +281,61 @@ def test_single_line_raw_cfg_not_treated_as_path():
     # read). A single "[section]" line is the minimal such input.
     cfg = load_cfg("[paths]")
     assert cfg == {"paths": {}}
+
+
+def test_pipeline_serde_roundtrip(ray_session, tmp_path):
+    """to_bytes/from_bytes round-trip (the reference's BuiltinTask serde
+    contract, builtin_task.py:175-255): the reloaded pipeline is rebuilt
+    from the embedded cfg, produces identical output, and serialized
+    prompt examples take precedence over config-initialized ones."""
+    import spacy_llm_ray
+    from spacy_llm_ray.cfg_loader import AssembledPipeline
+    from spacy_llm_ray.models.mock import MockNERModel
+
+    models = {"llm": MockNERModel({"garlic bread": "DISH"}, context_length=None)}
+    nlp = spacy_llm_ray.assemble(NER_CFG, models=models)
+
+    blob = nlp.to_bytes()
+    assert isinstance(blob, bytes)
+    # Deterministic: same pipeline -> same bytes.
+    assert blob == spacy_llm_ray.assemble(NER_CFG, models=models).to_bytes()
+
+    nlp2 = AssembledPipeline.from_bytes(blob, models=models)
+    texts = ["I love garlic bread.", "nothing here"]
+    out1 = nlp(texts).take_all()
+    out2 = nlp2(texts).take_all()
+    assert out1 == out2
+
+    # to_disk/from_disk round-trip (before any example mutation).
+    nlp.to_disk(tmp_path / "pipe")
+    nlp4 = AssembledPipeline.from_disk(tmp_path / "pipe", models=models)
+    assert nlp4(texts).take_all() == out1
+
+    # Serialized examples take precedence on load (reference semantics:
+    # from_bytes restores _prompt_examples over whatever config built).
+    # NER v3 CoT example shape (ported reference fixtures use the same).
+    examples = [
+        {
+            "text": "You can't get a great chocolate flavor with carob.",
+            "spans": [
+                {
+                    "text": "chocolate",
+                    "is_entity": False,
+                    "label": "==NONE==",
+                    "reason": "not a dish",
+                }
+            ],
+        }
+    ]
+    nlp.components["llm"].set_examples(examples)
+    blob_ex = nlp.to_bytes()
+    nlp3 = AssembledPipeline.from_bytes(blob_ex, models=models)
+    # Restored examples are coerced back into example objects (dataclass eq).
+    assert nlp3.components["llm"]._examples == nlp.components["llm"]._examples
+    assert len(nlp3(texts).take_all()) == 2  # still renders + runs
+
+    # exclude= skips a section, like the reference's exclude tuple.
+    import json as _json
+
+    payload = _json.loads(nlp.to_bytes(exclude=("prompt_examples",)).decode())
+    assert set(payload["sections"]) == {"cfg"}
