@@ -205,10 +205,12 @@ def main():
         # below this box's DRAM-bandwidth saturation point: the round-3
         # vectorized kernel is ~2x faster per byte, which moved single-box
         # saturation down to ~12-16 string-processing workers — a no-Ray
-        # multiprocessing control running the IDENTICAL kernel
-        # (scripts/scaling_control.py) scales at only 0.67 efficiency from
-        # 4 -> 16 workers, while the engine reaches 0.77 on the same span,
-        # i.e. the 4 -> 16 ceiling is the hardware, not the engine.
+        # multiprocessing control running the IDENTICAL kernel, pure
+        # compute in the timed section (scripts/scaling_control.py),
+        # scales at only 0.60 efficiency from 4 -> 16 workers, while the
+        # engine reaches 0.73-0.77 on the same span — the 4 -> 16 ceiling
+        # is the hardware, not the engine. At 2 -> 8 the control gives
+        # 0.868 and the engine 0.852-0.869: AT the hardware ceiling.
         # Multi-node clusters don't share DRAM (each node brings its own
         # bandwidth); both level pairs + the control are in BASELINE.md.
         n_turns = int(os.environ.get("BENCH_SCALING_TURNS", "1920000"))

@@ -25,10 +25,11 @@ TURNS = int(sys.argv[2]) if len(sys.argv) > 2 else 1_920_000
 DOCS_PATH = f"/tmp/spacy_llm_ray_data/control_docs_{TURNS}.parquet"
 
 _stage = None
+_tbl = None
 
 
 def _init():
-    global _stage
+    global _stage, _tbl
     from spacy_llm_ray.data import build_kb
     from spacy_llm_ray.pipelines import kg
     from spacy_llm_ray.stages.llm_stage import KGStage
@@ -39,11 +40,20 @@ def _init():
         rel_kwargs=dict(labels=kg.LABELS_REL, model=models["rel"]),
         el_kwargs=dict(kb=build_kb(), model=models["el"]),
     )
+    # Read once per worker, OUTSIDE the timed section (a warmup map drains
+    # initializers before t0). Re-reading the file per chunk would scale
+    # total I/O/decode work with worker count and bias the efficiency
+    # measurement this script exists for.
+    _tbl = pq.read_table(DOCS_PATH)
+
+
+def _warm(_):
+    return _tbl.num_rows
 
 
 def _work(span):
     i0, i1 = span
-    tbl = pq.read_table(DOCS_PATH).slice(i0, i1 - i0)
+    tbl = _tbl.slice(i0, i1 - i0)  # zero-copy view of the cached table
     out = 0
     batch = 64  # same minibatch size as the Ray stage
     for j in range(0, tbl.num_rows, batch):
@@ -78,6 +88,7 @@ def main():
     step = (n + nchunk - 1) // nchunk
     spans = [(i, min(i + step, n)) for i in range(0, n, step)]
     with mp.Pool(nwork, initializer=_init) as pool:
+        pool.map(_warm, range(nwork * 4))  # drain initializers pre-timing
         t0 = time.monotonic()
         total = sum(pool.map(_work, spans))
         dt = time.monotonic() - t0

@@ -114,6 +114,13 @@ def load_cfg(source: Union[str, Path], overrides: Optional[Dict[str, Any]] = Non
         text = source.read_text()
     elif "\n" not in str(source) and os.path.exists(str(source)):
         text = Path(source).read_text()
+    elif "\n" not in str(source) and (
+        str(source).endswith(".cfg") or os.sep in str(source)
+    ):
+        # Single-line string that LOOKS like a path but doesn't exist: a
+        # clear FileNotFoundError beats configparser's MissingSectionHeader
+        # from parsing the path string as cfg text.
+        raise FileNotFoundError(f"config file not found: {source}")
     else:
         text = str(source)
     # Overrides land BEFORE interpolation so ${paths.x} picks them up.

@@ -314,7 +314,19 @@ def ensure_dataset(
         with open(os.path.join(str(sf), "_COMPLETE")) as f:
             if "format=v2" in f.read():
                 return str(sf)
-        raise ValueError(f"dataset dir {sf!r} has an incompatible format marker")
+        # Stale/pre-v2 marker: a dir whose basename names a known scale
+        # factor is one of ours — fall through to the name-based flow,
+        # which rmtree's and regenerates it (the pre-existing behavior).
+        # Only a NON-resolvable custom dir is an error.
+        base = os.path.basename(str(sf).rstrip("/"))
+        if base not in SF_TURNS and not (
+            base.startswith("turns") and base[5:].isdigit()
+        ):
+            raise ValueError(
+                f"dataset dir {sf!r} has an incompatible format marker"
+            )
+        sf_name = base
+        n_turns = SF_TURNS.get(base) or int(base[5:])
     else:
         sf_name = os.path.basename(str(sf).rstrip("/"))
         if sf_name in SF_TURNS:

@@ -47,14 +47,6 @@ def _rd():
     return ray.data
 
 
-def _strip_md(t: pa.Table) -> pa.Table:
-    # Parquet's b'pandas' schema metadata makes pa.Schema unhashable
-    # (pyarrow 16), which silently disables Ray's schema dedup in every
-    # downstream operator ("Failed to hash the schemas" warnings). Stripping
-    # is zero-copy.
-    return t.replace_schema_metadata(None)
-
-
 def _read(sf_dir: str, table: str, columns=None):
     path = os.path.join(sf_dir, f"{table}.parquet")
     return _rd().read_parquet(

@@ -126,7 +126,10 @@ def build_canonical_mapping(
 # Worker-process-level cache of fetched/split mappings keyed by ObjectRef:
 # the apply stage runs as plain tasks (no actor-pool startup cost), and each
 # reused worker process deserializes the broadcast dict exactly once.
+# Bounded (FIFO): long-lived task workers see one ref per canonicalize call
+# across a session; unbounded growth pins every broadcast mapping forever.
 _MAPPING_CACHE: Dict = {}
+_MAPPING_CACHE_MAX = 4
 
 
 def _split_mapping(mapping_ref):
@@ -142,6 +145,8 @@ def _split_mapping(mapping_ref):
                 {s: c[0] for s, c in mapping.items()},
                 {s: c[1] for s, c in mapping.items()},
             )
+            while len(_MAPPING_CACHE) >= _MAPPING_CACHE_MAX:
+                _MAPPING_CACHE.pop(next(iter(_MAPPING_CACHE)))
             _MAPPING_CACHE[mapping_ref] = split
             return split
     except ImportError:
@@ -186,7 +191,23 @@ def _apply_canonical(batch: pa.Table, mapping_ref=None) -> pa.Table:
 _LBL = pa.schema([("snode", pa.string()), ("label", pa.string())])
 
 
-def _bucketed_group_min(ds, key: str, val: str, out_schema, n_buckets: int = 32):
+def _default_partitions() -> int:
+    """Output-block / join-partition count for the vocab-scale CC datasets:
+    scale with the cluster instead of a constant so the distributed path
+    keeps its parallelism at the 10^7+-pair scale it exists for."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    except Exception:
+        pass
+    return 8
+
+
+def _bucketed_group_min(
+    ds, key: str, val: str, out_schema, n_buckets: int = 32, n_out: int = None
+):
     """min(val) per key via hash-bucket groupby (vocab-scale data)."""
     import pandas as pd
 
@@ -217,7 +238,9 @@ def _bucketed_group_min(ds, key: str, val: str, out_schema, n_buckets: int = 32)
     # repartition: map_groups emits schema-less empty blocks for empty
     # buckets; they BYPASS map_batches UDFs (so coerce can't fix them) and
     # crash any downstream hash join — rebuilding blocks drops them.
-    return out.map_batches(coerce, batch_format="pyarrow").repartition(4)
+    return out.map_batches(coerce, batch_format="pyarrow").repartition(
+        n_out or _default_partitions()
+    )
 
 
 def distinct_pairs_dataset(triples_ds, n_buckets: int = 32):
@@ -257,11 +280,13 @@ def distinct_pairs_dataset(triples_ds, n_buckets: int = 32):
 
     # See _bucketed_group_min: rebuild blocks so map_groups empties never
     # reach a join.
-    return out.map_batches(coerce, batch_format="pyarrow").repartition(4)
+    return out.map_batches(coerce, batch_format="pyarrow").repartition(
+        _default_partitions()
+    )
 
 
 def build_canonical_mapping_dataset(
-    triples_ds, kb: InMemoryKB, *, max_iters: int = 25, num_partitions: int = 4
+    triples_ds, kb: InMemoryKB, *, max_iters: int = 25, num_partitions: int = None
 ):
     """Distributed equivalent of :func:`build_canonical_mapping`.
 
@@ -272,6 +297,9 @@ def build_canonical_mapping_dataset(
     import pandas as pd
 
     from .arrow_utils import pandas_udf
+
+    if num_partitions is None:
+        num_partitions = _default_partitions()
 
     pairs = distinct_pairs_dataset(triples_ds).materialize()
 
@@ -372,6 +400,13 @@ def build_canonical_mapping_dataset(
         ).materialize()
         if not changed:
             break
+    else:
+        # Silent non-convergence would split true components and break the
+        # byte-identical contract with the broadcast union-find path.
+        raise RuntimeError(
+            f"canonical label propagation did not converge in {max_iters} "
+            "rounds (component diameter exceeds 2*max_iters); raise max_iters"
+        )
 
     # Per-component canonical pick (comp tables are vocab-scale).
     kb_names = {qid: ent[0] for qid, ent in kb.entities.items()}
@@ -425,7 +460,7 @@ def build_canonical_mapping_dataset(
 
     comp_canon = comp_canon.map_batches(
         coerce_canon, batch_format="pyarrow"
-    ).repartition(4)
+    ).repartition(num_partitions)
 
     surf_schema = pa.schema([("surface", pa.string()), ("comp", pa.string())])
     surf_comp = _bucketed_group_min(

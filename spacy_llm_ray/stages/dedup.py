@@ -355,7 +355,13 @@ def minhash_lsh_dedup(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_pandas()
-            grp = ids.map(self._m).fillna(ids).astype("int64")
+            # Exact int64 path: map only the hit subset (no-NaN map keeps
+            # int64); routing misses through float64 via fillna corrupts
+            # ids above 2**53.
+            grp = ids.copy()
+            hit = ids.isin(self._m)
+            if hit.any():
+                grp[hit] = ids[hit].map(self._m)
             return batch.append_column(
                 "dup_group", pa.array(grp.to_numpy(), type=pa.int64())
             )

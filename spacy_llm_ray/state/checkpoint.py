@@ -67,7 +67,11 @@ def _partition_array(conv_ids, n: int):
 
     if len(conv_ids) == 0:
         return np.empty(0, dtype=np.int32)
-    raw = np.asarray(conv_ids, dtype=f"S{_KEY_WIDTH}")
+    # UTF-8-encode BEFORE the fixed-width view: np.asarray(str, dtype='S..')
+    # ASCII-encodes and raises UnicodeEncodeError on any non-ASCII id.
+    raw = np.char.encode(
+        np.asarray(conv_ids, dtype="U"), "utf-8"
+    ).astype(f"S{_KEY_WIDTH}")
     mat = raw.view(np.uint8).reshape(len(raw), -1)
     acc = np.zeros(len(raw), dtype=np.uint64)
     base = np.uint64(257)
@@ -222,12 +226,19 @@ def run_partitioned_kg(
         with open(done_marker) as f:
             marker_ok = f.read().strip() == fingerprint
     if not marker_ok:
-        if os.path.exists(done_marker) and manifest:
-            # Units already committed against a DIFFERENT input snapshot:
-            # rebuilding now would mix two datasets in one output.
+        if manifest:
+            # Units already committed against a DIFFERENT (or no longer
+            # verifiable — marker deleted/lost) input snapshot: rebuilding
+            # now would mix two datasets in one output. A missing marker
+            # must NOT silently rebuild, same as a mismatching one.
             raise ConfigMismatchError(
-                f"input data under {src_path} changed after "
-                f"{len(manifest)} unit(s) were checkpointed at {out_dir}; "
+                f"input snapshot under {out_dir} is "
+                + (
+                    "missing its _DONE marker"
+                    if not os.path.exists(done_marker)
+                    else f"stale (input data under {src_path} changed)"
+                )
+                + f" after {len(manifest)} unit(s) were checkpointed; "
                 "clear the output dir (or restore the original input) "
                 "before resuming"
             )

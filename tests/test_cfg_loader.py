@@ -339,3 +339,15 @@ def test_pipeline_serde_roundtrip(ray_session, tmp_path):
 
     payload = _json.loads(nlp.to_bytes(exclude=("prompt_examples",)).decode())
     assert set(payload["sections"]) == {"cfg"}
+
+
+def test_nonexistent_cfg_path_raises_file_not_found():
+    # A single-line path-looking string that doesn't exist must raise
+    # FileNotFoundError, not be parsed as raw cfg text (which surfaces as a
+    # confusing MissingSectionHeaderError).
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        load_cfg("configs/typo_ner.cfg")
+    with pytest.raises(FileNotFoundError):
+        load_cfg("/no/such/dir/pipeline.cfg")

@@ -175,3 +175,23 @@ def test_partition_array_deterministic_and_vectorized():
     assert all(int(arr[i]) == _partition_of(c, 16) for i, c in enumerate(ids))
     # deterministic across calls
     assert (arr == _partition_array(ids, 16)).all()
+
+
+def test_partition_array_handles_non_ascii_ids():
+    """Unicode conv_ids must hash (utf-8), not crash on the ASCII fast path;
+    ASCII ids keep their pre-fix partition assignment (resume compat)."""
+    import numpy as np
+
+    from spacy_llm_ray.state.checkpoint import _partition_array
+
+    parts = _partition_array(["conv-ü-001", "conversación-7", "conv-a"], 8)
+    assert parts.dtype == np.int32 and len(parts) == 3
+    # ASCII compatibility with the previous S48 direct-view implementation.
+    raw = np.asarray(["conv-a"], dtype="S48")
+    mat = raw.view(np.uint8).reshape(1, -1)
+    acc = np.zeros(1, dtype=np.uint64)
+    for j in range(mat.shape[1]):
+        acc = acc * np.uint64(257) + mat[:, j]
+    # NB: modulo with np.uint64, not a Python int — numpy promotes
+    # uint64 % int to float64 and silently loses low bits.
+    assert parts[2] == int(acc[0] % np.uint64(8))
