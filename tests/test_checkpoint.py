@@ -164,6 +164,12 @@ def test_phase0_lineage_and_data_fingerprint(sf_dir, tmp_path_factory):
     assert fp1 != fp2
     assert _load_triples(out) == _load_triples(out2)
 
+    # A MISSING _DONE marker with committed units must also fail fast —
+    # silently rebuilding the snapshot would mix two datasets in one output.
+    os.remove(os.path.join(out2, f"_input_units={N_PARTS}", "_DONE"))
+    with pytest.raises(ConfigMismatchError, match="missing its _DONE marker"):
+        run_partitioned_kg(src_copy, out2, n_partitions=N_PARTS)
+
 
 def test_partition_array_deterministic_and_vectorized():
     from spacy_llm_ray.state.checkpoint import _partition_array, _partition_of
