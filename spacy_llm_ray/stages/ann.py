@@ -76,12 +76,16 @@ def brute_force_topk(
     tie-breaking."""
     import ray
 
+    from .dispatch import stage_map_batches
+
     ref = ray.put(queries)
-    partials = emb_ds.map_batches(
+    # Deterministic stage, no model state: warm task workers skip the
+    # actor-pool cold start each invocation pays.
+    partials = stage_map_batches(
+        emb_ds,
         _BatchTopK,
-        fn_constructor_kwargs=dict(queries_ref=ref, k=k, vec_col=vec_col, id_col=id_col),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        dict(queries_ref=ref, k=k, vec_col=vec_col, id_col=id_col),
+        use_actors=False,
     )
     return _merge_topk_partials(partials, k)
 
@@ -205,9 +209,10 @@ def ivf_topk(
             cid = np.argmax(vecs @ self._C.T, axis=1).astype(np.int32)
             return batch.append_column("centroid", pa.array(cid))
 
-    assigned = emb_ds.map_batches(
-        _Assign, fn_constructor_kwargs=dict(c_ref=c_ref),
-        batch_format="pyarrow", concurrency=(1, 4),
+    from .dispatch import stage_map_batches
+
+    assigned = stage_map_batches(
+        emb_ds, _Assign, dict(c_ref=c_ref), use_actors=False
     )
 
     qm32 = _normalize(np.stack([v for _, v in queries]).astype(np.float32))
@@ -215,13 +220,13 @@ def ivf_topk(
     probe = np.argsort(-(qm32 @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
     probe_sets = [set(p.tolist()) for p in probe]
 
-    partials = assigned.map_batches(
+    partials = stage_map_batches(
+        assigned,
         _IVFBatchTopK,
-        fn_constructor_kwargs=dict(
+        dict(
             queries_ref=ray.put(list(queries)), probe_ref=ray.put(probe_sets),
             k=k, vec_col=vec_col, id_col=id_col,
         ),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        use_actors=False,
     )
     return _merge_topk_partials(partials, k)
