@@ -440,9 +440,10 @@ def simhash_neardup_pairs(
     64/n_bands`` bit flips agrees on at least one full band (pigeonhole), so
     banding loses nothing at the default settings. Same bounded-shuffle shape
     as the MinHash band path."""
-    sigs = docs_ds.map_batches(
-        SimHashStage, fn_constructor_kwargs=dict(text_col=text_col),
-        batch_format="pyarrow", concurrency=(1, 4),
+    from .dispatch import stage_map_batches
+
+    sigs = stage_map_batches(
+        docs_ds, SimHashStage, dict(text_col=text_col), use_actors=False
     )
     width = 64 // n_bands
     mask = (1 << width) - 1
@@ -746,12 +747,13 @@ def duplicate_span_stats(
     bucket groupby (hashes co-locate) -> per-doc partials -> bucketed
     per-doc sum (Ray's groupby().aggregate() costs ~20 s for 5k groups at
     sf0.1; the bucket-group UDF shape does the same sum in ~1 s)."""
-    rows = docs_ds.map_batches(
+    from .dispatch import stage_map_batches
+
+    rows = stage_map_batches(
+        docs_ds,
         DupSpanStage,
-        fn_constructor_kwargs=dict(window=window, text_col=text_col,
-                                   id_col=id_col),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        dict(window=window, text_col=text_col, id_col=id_col),
+        use_actors=False,
     )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
