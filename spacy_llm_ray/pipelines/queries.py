@@ -1276,6 +1276,10 @@ def q_media_features(sf_dir: str):
         mm.AudioFeatureStage,
         fn_constructor_kwargs=dict(data_col="audio"),
         batch_format="pyarrow", batch_size=16, concurrency=1,
+    ).map_batches(
+        mm.VideoFrameSampleStage,
+        fn_constructor_kwargs=dict(data_col="video", every=2),
+        batch_format="pyarrow", batch_size=16, concurrency=1,
     )
 
     def flatten_features(t: pa.Table) -> pa.Table:
@@ -1288,6 +1292,11 @@ def q_media_features(sf_dir: str):
             cols[cname] = pa.array(np.round(feats[:, i], 4))
         for cname in ("duration_s", "rms", "zcr"):
             cols[cname] = pc.round(t[cname], ndigits=4)
+        for cname in ("n_frames", "fps", "n_sampled"):
+            cols[cname] = pc.cast(t[cname], pa.int64())
+        vmeans = np.array(t["video_mean_rgb"].to_pylist(), dtype=np.float64)
+        for i, cname in enumerate(("vid_mean_r", "vid_mean_g", "vid_mean_b")):
+            cols[cname] = pa.array(np.round(vmeans[:, i], 4))
         return pa.table(cols)
 
     return out.map_batches(flatten_features, batch_format="pyarrow")

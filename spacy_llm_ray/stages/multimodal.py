@@ -298,17 +298,170 @@ class AudioFeatureStage:
 
 
 def frame_sample_indices(n_frames: int, every: int) -> list:
-    """Deterministic frame sampling plan for a video payload. (Video decode
-    itself is NOT implemented — containers need ffmpeg; this is the plan
-    step a real decoder stage would consume.)"""
+    """Deterministic frame sampling plan for a video payload."""
     return list(range(0, max(0, n_frames), max(1, every)))
+
+
+# --------------------------------------------------------------- video (AVI)
+# Real video decode for the one container expressible in pure numpy:
+# uncompressed RGB AVI (RIFF / BI_RGB 'DIB ' streams — the format ffmpeg
+# writes with `-c:v rawvideo -pix_fmt bgr24`). Compressed codecs
+# (H.264/VP9/...) still need ffmpeg and keep the strict/fake gate in
+# VideoFrameSampleStage, same policy as ImageDecodeStage for JPEG/PNG.
+
+
+def encode_avi_rgb(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode (n, h, w, 3) uint8 RGB frames as an uncompressed AVI."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    row_pad = (-(w * 3)) % 4
+    frame_size = (w * 3 + row_pad) * h
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return tag + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) % 2 else b""
+        )
+
+    # BGR, bottom-up rows, 4-byte-aligned — the DIB layout.
+    movi_items = []
+    for f in frames:
+        bgr = f[::-1, :, ::-1]
+        rows = bgr.reshape(h, w * 3)
+        if row_pad:
+            rows = np.concatenate(
+                [rows, np.zeros((h, row_pad), dtype=np.uint8)], axis=1
+            )
+        movi_items.append(chunk(b"00db", rows.tobytes()))
+    movi = b"movi" + b"".join(movi_items)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(1, fps),  # dwMicroSecPerFrame
+        frame_size * fps,  # dwMaxBytesPerSec
+        0, 0x10,  # padding, flags (AVIF_HASINDEX not set)
+        n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"LIST", strl)
+    riff_body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_rgb(payload: bytes) -> Tuple[np.ndarray, int]:
+    """Decode an uncompressed (BI_RGB) AVI -> ((n, h, w, 3) uint8 RGB, fps).
+    Raises ValueError on non-AVI or compressed payloads."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    w = h = bits = None
+    compression = None
+    fps = 0
+    frames_raw = []
+
+    def walk(buf: bytes, pos: int, end: int):
+        nonlocal w, h, bits, compression, fps
+        while pos + 8 <= end:
+            tag = buf[pos:pos + 4]
+            size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(buf, body_start + 4, body_start + size)
+            elif tag == b"strf" and w is None:
+                (_, w_, h_, _, bits_, comp) = struct.unpack(
+                    "<IiiHHI", buf[body_start:body_start + 20]
+                )
+                w, h, bits, compression = w_, abs(h_), bits_, comp
+            elif tag == b"strh" and buf[body_start:body_start + 4] == b"vids":
+                rate = struct.unpack("<I", buf[body_start + 24:body_start + 28])[0]
+                scale = struct.unpack("<I", buf[body_start + 20:body_start + 24])[0]
+                fps = rate // max(1, scale)
+            elif tag[2:] in (b"db", b"dc"):
+                frames_raw.append(buf[body_start:body_start + size])
+            pos = body_start + size + (size % 2)
+
+    walk(payload, 12, len(payload))
+    if w is None or not frames_raw:
+        raise ValueError("no video stream found in AVI")
+    if compression != 0 or bits != 24:
+        raise ValueError(
+            f"compressed/non-24-bit AVI (biCompression={compression}, "
+            f"bits={bits}) needs an external codec (ffmpeg)"
+        )
+    stride = (w * 3) + ((-(w * 3)) % 4)
+    out = []
+    for raw in frames_raw:
+        rows = np.frombuffer(raw, dtype=np.uint8)[: stride * h].reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        out.append(bgr[::-1, :, ::-1])  # bottom-up BGR -> top-down RGB
+    return np.stack(out), fps
+
+
+class VideoFrameSampleStage:
+    """binary video column -> deterministic sampled-frame features:
+    n_frames, fps, n_sampled, mean RGB over the sampled frames. Real decode
+    for uncompressed AVI; other containers fall back to a deterministic
+    md5-seeded fake unless ``strict=True`` (same gate as ImageDecodeStage —
+    plug a real codec via ``decode_fn`` where ffmpeg exists)."""
+
+    def __init__(
+        self,
+        data_col: str = "video",
+        every: int = 2,
+        strict: bool = False,
+        decode_fn: Optional[Callable] = None,
+    ):
+        self._col = data_col
+        self._every = every
+        self._strict = strict
+        self._decode = decode_fn or self._default_decode
+
+    @staticmethod
+    def _fake(payload: bytes) -> Tuple[np.ndarray, int]:
+        seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "little")
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, size=(4, 8, 8, 3), dtype=np.uint8), 10
+
+    def _default_decode(self, payload: bytes) -> Tuple[np.ndarray, int]:
+        try:
+            return decode_avi_rgb(payload)
+        except ValueError:
+            if self._strict:
+                raise
+            return self._fake(payload)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_frames, fps_col, n_sampled = [], [], []
+        means = []
+        for payload in batch[self._col].to_pylist():
+            frames, fps = self._decode(payload)
+            idx = frame_sample_indices(len(frames), self._every)
+            sampled = frames[idx]
+            n_frames.append(len(frames))
+            fps_col.append(fps)
+            n_sampled.append(len(idx))
+            means.append(sampled.mean(axis=(0, 1, 2)).tolist())
+        return (
+            batch.append_column("n_frames", pa.array(n_frames, type=pa.int32()))
+            .append_column("fps", pa.array(fps_col, type=pa.int32()))
+            .append_column("n_sampled", pa.array(n_sampled, type=pa.int32()))
+            .append_column(
+                "video_mean_rgb", pa.array(means, type=pa.list_(pa.float64()))
+            )
+        )
 
 
 def make_fake_media_table(n: int = 32, seed: int = 13) -> pa.Table:
     """Deterministic synthetic media table: real PPM images (varying sizes
-    and content) + real WAV tones, as binary columns."""
+    and content) + real WAV tones + real uncompressed AVI clips, as binary
+    columns."""
     rng = np.random.RandomState(seed)
-    img_payloads, wav_payloads = [], []
+    img_payloads, wav_payloads, avi_payloads = [], [], []
     for i in range(n):
         h, w = 8 + (i % 5) * 4, 8 + (i % 3) * 8
         img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -316,10 +469,15 @@ def make_fake_media_table(n: int = 32, seed: int = 13) -> pa.Table:
         t = np.arange(0, 1600 + 100 * (i % 4)) / 16000.0
         tone = 0.5 * np.sin(2 * np.pi * (200 + 50 * i) * t)
         wav_payloads.append(encode_wav(tone.astype(np.float32)))
+        clip = rng.randint(
+            0, 256, size=(3 + (i % 4), 6, 6 + (i % 2), 3), dtype=np.uint8
+        )
+        avi_payloads.append(encode_avi_rgb(clip, fps=8 + (i % 3)))
     return pa.table(
         {
             "media_id": pa.array(list(range(n)), type=pa.int64()),
             "data": pa.array(img_payloads, type=pa.binary()),
             "audio": pa.array(wav_payloads, type=pa.binary()),
+            "video": pa.array(avi_payloads, type=pa.binary()),
         }
     )

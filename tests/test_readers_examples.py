@@ -218,3 +218,41 @@ def test_task_scorers():
         labels=["A", "B"], multi_label=True,
     )
     assert multi["cats_micro_p"] == 0.5 and multi["cats_micro_r"] == 1.0
+
+
+def test_avi_roundtrip_and_frame_sampling():
+    """Pure-numpy uncompressed-AVI codec: encode/decode round-trip (incl.
+    odd widths needing DIB row padding), deterministic frame sampling, and
+    the strict gate for non-AVI payloads."""
+    import numpy as np
+    import pytest
+
+    from spacy_llm_ray.stages.multimodal import (
+        VideoFrameSampleStage,
+        decode_avi_rgb,
+        encode_avi_rgb,
+        frame_sample_indices,
+        make_fake_media_table,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, size=(5, 6, 7, 3), dtype=np.uint8)
+    out, fps = decode_avi_rgb(encode_avi_rgb(frames, fps=12))
+    assert fps == 12 and (out == frames).all()
+
+    assert frame_sample_indices(5, 2) == [0, 2, 4]
+    assert frame_sample_indices(0, 2) == []
+
+    tbl = make_fake_media_table(6)
+    res = VideoFrameSampleStage(every=2)(tbl)
+    assert res["n_frames"].to_pylist() == [3, 4, 5, 6, 3, 4]
+    assert res["n_sampled"].to_pylist() == [2, 2, 3, 3, 2, 2]
+    # means are over real decoded pixels, bounded
+    for m in res["video_mean_rgb"].to_pylist():
+        assert len(m) == 3 and all(0 <= v <= 255 for v in m)
+
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        VideoFrameSampleStage(strict=True)._default_decode(b"mp4 payload")
+    # non-strict falls back to the deterministic fake (same policy as images)
+    fake_frames, fake_fps = VideoFrameSampleStage()._default_decode(b"mp4 payload")
+    assert fake_frames.shape == (4, 8, 8, 3) and fake_fps == 10
