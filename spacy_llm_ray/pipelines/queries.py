@@ -221,6 +221,16 @@ def q_kg_triples(sf_dir: str):
 SQL_KG_TRIPLES = _TRIPLES_CTE + "SELECT * FROM triples"
 
 
+def q_kg_triples_distcanon(sf_dir: str):
+    """The flagship pipeline with the fully distributed canonicalization
+    path (hash-to-min connected components + hash-join apply instead of a
+    driver union-find + broadcast dict) — same oracle as kg_triples, so the
+    driver verifies the distributed path is value-identical end-to-end."""
+    return kg.kg_triples_dataset(
+        sf_dir, models=_oracle_models(), distributed_canon=True
+    ).select_columns(list(kg.FINAL_COLUMNS))
+
+
 def q_kg_triples_by_pred(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1597,6 +1607,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "kg_mentions_v1": (q_kg_mentions_v1, SQL_KG_MENTIONS),
     "kg_linked_mentions": (q_kg_linked_mentions, SQL_KG_LINKED_MENTIONS),
     "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
+    "kg_triples_distcanon": (q_kg_triples_distcanon, SQL_KG_TRIPLES),
     "kg_triples_by_pred": (q_kg_triples_by_pred, SQL_KG_TRIPLES_BY_PRED),
     "kg_entity_degree": (q_kg_entity_degree, SQL_KG_ENTITY_DEGREE),
     # relational / windowed
