@@ -228,7 +228,7 @@ def q_kg_triples_distcanon(sf_dir: str):
     driver verifies the distributed path is value-identical end-to-end."""
     return kg.kg_triples_dataset(
         sf_dir, models=_oracle_models(), distributed_canon=True
-    ).select_columns(list(kg.FINAL_COLUMNS))
+    )
 
 
 def q_kg_triples_by_pred(sf_dir: str):
@@ -1293,8 +1293,10 @@ def q_media_features(sf_dir: str):
     )
 
     def flatten_features(t: pa.Table) -> pa.Table:
-        # scalar columns (driver-hashable) from the feature vector
-        feats = np.array(t["features"].to_pylist(), dtype=np.float64)
+        # scalar columns (driver-hashable) from the feature vectors; the
+        # reshape keeps zero-row blocks 2-D (np.array([]) is 1-D and
+        # [:, i] would raise)
+        feats = np.array(t["features"].to_pylist(), dtype=np.float64).reshape(-1, 6)
         cols = {"media_id": t["media_id"]}
         for i, cname in enumerate(
             ["mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b"]
@@ -1304,7 +1306,9 @@ def q_media_features(sf_dir: str):
             cols[cname] = pc.round(t[cname], ndigits=4)
         for cname in ("n_frames", "fps", "n_sampled"):
             cols[cname] = pc.cast(t[cname], pa.int64())
-        vmeans = np.array(t["video_mean_rgb"].to_pylist(), dtype=np.float64)
+        vmeans = np.array(
+            t["video_mean_rgb"].to_pylist(), dtype=np.float64
+        ).reshape(-1, 3)
         for i, cname in enumerate(("vid_mean_r", "vid_mean_g", "vid_mean_b")):
             cols[cname] = pa.array(np.round(vmeans[:, i], 4))
         return pa.table(cols)

@@ -698,6 +698,12 @@ class DupSpanStage:
         h = self._word_hash.get(w)
         if h is None:
             h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            if len(self._word_hash) > 2_000_000:
+                # Bound memory: warm-task workers keep this instance alive
+                # across pipeline invocations (stages/dispatch.py cache), so
+                # an unbounded vocabulary cache would grow for the worker
+                # process's lifetime (same bound as SimHashStage).
+                self._word_hash.clear()
             self._word_hash[w] = h
         return h
 

@@ -11,9 +11,10 @@ Images and audio are REAL here, no external codecs needed:
 ``ImageDecodeStage`` sniffs the payload magic (P6/P5/BM) and dispatches;
 unknown formats (JPEG/PNG/...) fall back to a deterministic md5-seeded fake
 unless ``strict=True`` (raises, telling the user to plug a codec via
-``decode_fn``). VIDEO remains a stub: real containers need ffmpeg, so only
-the deterministic frame-sampling plan (``frame_sample_indices``) and the
-schema/actor plumbing are provided.
+``decode_fn``). VIDEO: uncompressed RGB AVI decodes for real
+(``decode_avi_rgb`` — pure-numpy RIFF walk) and ``VideoFrameSampleStage``
+samples frames deterministically; compressed codecs (H.264/VP9/...) still
+need ffmpeg and keep the same strict/fake gate.
 
 Batch-size guidance: binary payloads make rows wide — size ``batch_size`` so
 batch x concurrency fits worker heap, and keep these stages in
@@ -338,7 +339,7 @@ def encode_avi_rgb(frames: np.ndarray, fps: int = 10) -> bytes:
         "<14I",
         1_000_000 // max(1, fps),  # dwMicroSecPerFrame
         frame_size * fps,  # dwMaxBytesPerSec
-        0, 0x10,  # padding, flags (AVIF_HASINDEX not set)
+        0, 0,  # padding, flags (no AVIF_HASINDEX — we write no idx1 chunk)
         n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
     )
     strh = struct.pack(
@@ -360,32 +361,51 @@ def decode_avi_rgb(payload: bytes) -> Tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/AVI payload")
 
     w = h = bits = None
+    bottom_up = True
     compression = None
     fps = 0
     frames_raw = []
+    in_vids = False  # last-seen strh was the video stream's
 
     def walk(buf: bytes, pos: int, end: int):
-        nonlocal w, h, bits, compression, fps
+        nonlocal w, h, bits, bottom_up, compression, fps, in_vids
+        end = min(end, len(buf))
         while pos + 8 <= end:
             tag = buf[pos:pos + 4]
             size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
             body_start = pos + 8
             if tag == b"LIST":
                 walk(buf, body_start + 4, body_start + size)
-            elif tag == b"strf" and w is None:
+            elif tag == b"strh":
+                # strf chunks are typed by the PRECEDING strh: an audio strl
+                # listed first must not have its WAVEFORMATEX parsed as a
+                # BITMAPINFOHEADER.
+                in_vids = buf[body_start:body_start + 4] == b"vids"
+                if in_vids:
+                    rate = struct.unpack(
+                        "<I", buf[body_start + 24:body_start + 28]
+                    )[0]
+                    scale = struct.unpack(
+                        "<I", buf[body_start + 20:body_start + 24]
+                    )[0]
+                    fps = rate // max(1, scale)
+            elif tag == b"strf" and in_vids and w is None:
                 (_, w_, h_, _, bits_, comp) = struct.unpack(
                     "<IiiHHI", buf[body_start:body_start + 20]
                 )
+                # Negative biHeight = top-down DIB (no row flip needed).
                 w, h, bits, compression = w_, abs(h_), bits_, comp
-            elif tag == b"strh" and buf[body_start:body_start + 4] == b"vids":
-                rate = struct.unpack("<I", buf[body_start + 24:body_start + 28])[0]
-                scale = struct.unpack("<I", buf[body_start + 20:body_start + 24])[0]
-                fps = rate // max(1, scale)
+                bottom_up = h_ > 0
             elif tag[2:] in (b"db", b"dc"):
                 frames_raw.append(buf[body_start:body_start + size])
             pos = body_start + size + (size % 2)
 
-    walk(payload, 12, len(payload))
+    try:
+        walk(payload, 12, len(payload))
+    except struct.error as err:
+        # Truncated/corrupt chunk headers must hit the same ValueError gate
+        # the strict/fake dispatch in VideoFrameSampleStage catches.
+        raise ValueError(f"malformed AVI payload: {err}") from err
     if w is None or not frames_raw:
         raise ValueError("no video stream found in AVI")
     if compression != 0 or bits != 24:
@@ -396,9 +416,12 @@ def decode_avi_rgb(payload: bytes) -> Tuple[np.ndarray, int]:
     stride = (w * 3) + ((-(w * 3)) % 4)
     out = []
     for raw in frames_raw:
+        if len(raw) < stride * h:
+            raise ValueError("truncated AVI frame chunk")
         rows = np.frombuffer(raw, dtype=np.uint8)[: stride * h].reshape(h, stride)
         bgr = rows[:, : w * 3].reshape(h, w, 3)
-        out.append(bgr[::-1, :, ::-1])  # bottom-up BGR -> top-down RGB
+        rgb = bgr[:, :, ::-1]
+        out.append(rgb[::-1] if bottom_up else rgb)
     return np.stack(out), fps
 
 

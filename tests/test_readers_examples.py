@@ -256,3 +256,69 @@ def test_avi_roundtrip_and_frame_sampling():
     # non-strict falls back to the deterministic fake (same policy as images)
     fake_frames, fake_fps = VideoFrameSampleStage()._default_decode(b"mp4 payload")
     assert fake_frames.shape == (4, 8, 8, 3) and fake_fps == 10
+
+
+def test_avi_decoder_robustness():
+    """Top-down DIBs (negative biHeight), audio-stream-first files, and
+    truncated payloads all decode or gate correctly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spacy_llm_ray.stages.multimodal import (
+        VideoFrameSampleStage,
+        decode_avi_rgb,
+        encode_avi_rgb,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, size=(2, 4, 4, 3), dtype=np.uint8)
+    payload = bytearray(encode_avi_rgb(frames, fps=10))
+
+    # Flip biHeight negative in the strf chunk -> top-down layout: decoder
+    # must skip the row flip (our encoder writes bottom-up rows, so the
+    # decoded frames come back vertically mirrored versus the originals).
+    off = bytes(payload).find(b"strf") + 8
+    w0, h0 = struct.unpack("<ii", bytes(payload[off + 4:off + 12]))
+    payload[off + 4:off + 12] = struct.pack("<ii", w0, -h0)
+    flipped, _ = decode_avi_rgb(bytes(payload))
+    assert (flipped == np.stack([f[::-1] for f in frames])).all()
+
+    # Audio strl listed before the video strl: the audio strf (16 bytes,
+    # WAVEFORMATEX-ish) must not be parsed as a BITMAPINFOHEADER.
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    good = encode_avi_rgb(frames, fps=10)
+    auds_strl = b"strl" + chunk(
+        b"strh", struct.pack("<4s4s", b"auds", b"\x00" * 4) + b"\x00" * 48
+    ) + chunk(b"strf", b"\x01\x00\x01\x00" + b"\x00" * 12)
+    # Rebuild a well-formed file with the audio strl LIST FIRST in hdrl
+    # (sizes recomputed, unlike a raw byte splice).
+    pos, lists = 12, []
+    while pos + 8 <= len(good):
+        tag = good[pos:pos + 4]
+        size = struct.unpack("<I", good[pos + 4:pos + 8])[0]
+        lists.append(good[pos + 8:pos + 8 + size])
+        pos += 8 + size + (size % 2)
+    hdrl_inner = lists[0][4:]  # drop b"hdrl"
+    avih_size = struct.unpack("<I", hdrl_inner[4:8])[0]
+    cut = 8 + avih_size + (avih_size % 2)
+    new_hdrl = (
+        b"hdrl" + hdrl_inner[:cut] + chunk(b"LIST", auds_strl) + hdrl_inner[cut:]
+    )
+    body = b"AVI " + chunk(b"LIST", new_hdrl) + chunk(b"LIST", lists[1])
+    audio_first = b"RIFF" + struct.pack("<I", len(body)) + body
+    out, fps = decode_avi_rgb(audio_first)
+    assert fps == 10 and (out == frames).all()
+
+    # Truncated payload: ValueError (not struct.error), so the non-strict
+    # stage falls back to the deterministic fake instead of crashing.
+    trunc = bytes(encode_avi_rgb(frames, fps=10))[:40]
+    with pytest.raises(ValueError):
+        decode_avi_rgb(trunc)
+    fake_frames, _ = VideoFrameSampleStage()._default_decode(trunc)
+    assert fake_frames.shape == (4, 8, 8, 3)
