@@ -298,10 +298,15 @@ def build_canonical_mapping_dataset(
 
     from .arrow_utils import pandas_udf
 
-    if num_partitions is None:
-        num_partitions = _default_partitions()
-
     pairs = distinct_pairs_dataset(triples_ds).materialize()
+    if num_partitions is None:
+        # Scale with DATA, capped by the cluster: Ray's hash-join overhead
+        # grows with the partition count (~0.1 s/partition locally), so a
+        # vocab of a few thousand pairs should run 2-partition joins while
+        # 10^7+ pairs get the full cluster fan-out (~100k pairs/partition).
+        num_partitions = int(
+            min(_default_partitions(), max(2, pairs.count() // 100_000))
+        )
 
     # Bipartite edges: normalized surface node <-> non-NIL qid.
     edges = pairs.filter(
@@ -327,7 +332,9 @@ def build_canonical_mapping_dataset(
         )
     )
     # Global distinct over per-batch inits.
-    labels = _bucketed_group_min(labels, "snode", "label", _LBL).materialize()
+    labels = _bucketed_group_min(
+        labels, "snode", "label", _LBL, n_out=num_partitions
+    ).materialize()
 
     qlab_schema = pa.schema([("qid", pa.string()), ("qlabel", pa.string())])
     cand_schema = pa.schema([("snode", pa.string()), ("cand", pa.string())])
@@ -343,7 +350,7 @@ def build_canonical_mapping_dataset(
             lambda b: pa.table({"qid": b["qid"], "qlabel": b["label"]}),
             batch_format="pyarrow",
         )
-        lq = _bucketed_group_min(e1, "qid", "qlabel", qlab_schema)
+        lq = _bucketed_group_min(e1, "qid", "qlabel", qlab_schema, n_out=num_partitions)
 
         def own_q(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
@@ -366,7 +373,9 @@ def build_canonical_mapping_dataset(
             lambda b: pa.table({"snode": b["snode"], "cand": b["qlabel"]}),
             batch_format="pyarrow",
         )
-        cand = _bucketed_group_min(e2, "snode", "cand", cand_schema)
+        cand = _bucketed_group_min(
+            e2, "snode", "cand", cand_schema, n_out=num_partitions
+        )
 
         # Element-wise min with previous labels; left join keeps edge-less
         # singleton snodes.
