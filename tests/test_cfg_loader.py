@@ -351,3 +351,25 @@ def test_nonexistent_cfg_path_raises_file_not_found():
         load_cfg("configs/typo_ner.cfg")
     with pytest.raises(FileNotFoundError):
         load_cfg("/no/such/dir/pipeline.cfg")
+
+
+@pytest.mark.skipif(not REF_EXAMPLES.exists(), reason="no reference checkout")
+def test_reference_cfg_serde_roundtrip(ray_session, monkeypatch):
+    """A pipeline assembled from the reference's own shipped config
+    round-trips through to_bytes/from_bytes and produces identical output —
+    the full migration path: reference .cfg -> engine pipeline -> bytes."""
+    import spacy_llm_ray
+    from spacy_llm_ray.cfg_loader import AssembledPipeline
+    from spacy_llm_ray.models.mock import MockNERModel
+
+    monkeypatch.setenv("OPENAI_API_KEY", "sk-test")
+    models = {"llm": MockNERModel({"garlic bread": "DISH"}, context_length=None)}
+    nlp = spacy_llm_ray.assemble(
+        REF_EXAMPLES / "ner_v3_openai" / "fewshot.cfg",
+        overrides={"paths.examples": None},
+        models=models,
+    )
+    blob = nlp.to_bytes()
+    nlp2 = AssembledPipeline.from_bytes(blob, models=models)
+    texts = ["I love garlic bread.", "plain text"]
+    assert nlp(texts).take_all() == nlp2(texts).take_all()
