@@ -137,3 +137,62 @@ def test_simhash_batch_equals_single(batch):
     got = stage._simhash_many(batch)
     for t, h in zip(batch, got):
         assert SimHashStage.simhash64(t) == int(h)
+
+
+@given(
+    st.integers(1, 5), st.integers(1, 10), st.integers(1, 10),
+    st.integers(1, 30), st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_roundtrip_property(n, h, w, fps, seed):
+    import numpy as np
+
+    from spacy_llm_ray.stages.multimodal import decode_avi_rgb, encode_avi_rgb
+
+    frames = np.random.RandomState(seed % 2**31).randint(
+        0, 256, size=(n, h, w, 3), dtype=np.uint8
+    )
+    out, got_fps = decode_avi_rgb(encode_avi_rgb(frames, fps=fps))
+    assert got_fps == fps and out.shape == frames.shape
+    assert (out == frames).all()
+
+
+@given(st.lists(st.text(min_size=0, max_size=80), min_size=1, max_size=32),
+       st.integers(2, 64))
+@settings(max_examples=60, deadline=None)
+def test_partition_array_unicode_and_batch_consistency(ids, n):
+    import numpy as np
+
+    from spacy_llm_ray.state.checkpoint import _partition_array, _partition_of
+
+    parts = _partition_array(ids, n)
+    assert parts.dtype == np.int32
+    assert ((0 <= parts) & (parts < n)).all()
+    # batch assignment == per-row assignment (resume depends on this)
+    for cid, p in zip(ids, parts):
+        assert _partition_of(cid, n) == int(p)
+
+
+@given(st.lists(st.fixed_dictionaries({
+    "text": st.text(min_size=1, max_size=40),
+    "spans": st.lists(st.fixed_dictionaries({
+        "text": st.text(min_size=1, max_size=10),
+        "is_entity": st.booleans(),
+        "label": st.sampled_from(["PER", "ORG", "==NONE=="]),
+        "reason": st.text(max_size=20),
+    }), max_size=3),
+}), min_size=1, max_size=4))
+@settings(max_examples=40, deadline=None)
+def test_example_coercion_roundtrip(dicts):
+    from spacy_llm_ray.tasks.examples import (
+        SpanCoTExample,
+        coerce_examples,
+        examples_to_dicts,
+    )
+
+    objs = coerce_examples(dicts, SpanCoTExample)
+    assert all(isinstance(o, SpanCoTExample) for o in objs)
+    back = examples_to_dicts(objs)
+    assert back == dicts
+    # idempotent on already-coerced objects
+    assert coerce_examples(objs, SpanCoTExample) == objs
