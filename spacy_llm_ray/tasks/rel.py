@@ -31,10 +31,11 @@ ENT_MARKER_RE = re.compile(r"\[ENT(\d+):[^\]\s]+\]")
 
 
 def rel_tokenize(text: str) -> List[Token]:
-    return [
-        Token(m.group(), m.start(), m.end(), i)
-        for i, m in enumerate(_REL_TOKEN_RE.finditer(text))
-    ]
+    out = []
+    for i, m in enumerate(_REL_TOKEN_RE.finditer(text)):
+        s, e = m.span()  # one C call vs group()/start()/end()
+        out.append(Token(text[s:e], s, e, i))
+    return out
 
 
 @dataclass(frozen=True)

@@ -63,9 +63,28 @@ class Span(NamedTuple):
         return self._replace(kb_id=kb_id)
 
 
+# Bounded per-process memo: the fused KG stage tokenizes the same document
+# in its NER and EL sub-stages (and shard probes re-tokenize shard text), so
+# the second call is a dict hit instead of a full regex scan + ~600 Token
+# constructions per doc. CPython caches str.__hash__, so repeat lookups on
+# the same string object cost a pointer compare. Results are immutable in
+# practice (callers never mutate the list — see Tokenization, shard slicing).
+_TOKENIZE_CACHE: dict = {}
+_TOKENIZE_CACHE_MAX = 2048
+
+
 def tokenize(text: str) -> List[Token]:
-    return [Token(m.group(), m.start(), m.end(), i)
-            for i, m in enumerate(_TOKEN_RE.finditer(text))]
+    cached = _TOKENIZE_CACHE.get(text)
+    if cached is not None:
+        return cached
+    out = []
+    for i, m in enumerate(_TOKEN_RE.finditer(text)):
+        s, e = m.span()
+        out.append(Token(text[s:e], s, e, i))
+    if len(_TOKENIZE_CACHE) >= _TOKENIZE_CACHE_MAX:
+        _TOKENIZE_CACHE.clear()
+    _TOKENIZE_CACHE[text] = out
+    return out
 
 
 class Tokenization:
