@@ -18,21 +18,46 @@ from .schemas import MENTION_TYPE, REL_TYPE, TRIPLE_SCHEMA  # noqa: F401
 
 
 def explode_triples(batch: pa.Table) -> pa.Table:
-    conv_ids = batch["conv_id"].to_pylist()
-    mentions_lists = batch["mentions"].to_pylist()
-    rel_lists = batch["rel"].to_pylist()
+    """Vectorized explode: flatten the rel lists, map each rel's (dep, dest)
+    mention indices into the FLATTENED mentions space (per-row start offset
+    + local index), and gather every output column with ``pc.take`` — no
+    Python loop over rows or rels, and the mention structs are never
+    converted to Python dicts."""
+    import numpy as np
+    import pyarrow.compute as pc
 
-    cols: dict = {name: [] for name in TRIPLE_SCHEMA.names}
-    for conv_id, mentions, rels in zip(conv_ids, mentions_lists, rel_lists):
-        for r in rels:
-            subj = mentions[r["dep"]]
-            obj = mentions[r["dest"]]
-            cols["conv_id"].append(conv_id)
-            cols["subj"].append(subj["text"])
-            cols["subj_label"].append(subj["label"])
-            cols["subj_qid"].append(subj["kb_id"])
-            cols["pred"].append(r["relation"])
-            cols["obj"].append(obj["text"])
-            cols["obj_label"].append(obj["label"])
-            cols["obj_qid"].append(obj["kb_id"])
-    return pa.table(cols, schema=TRIPLE_SCHEMA)
+    rel_col = batch["rel"].combine_chunks()
+    ment_col = batch["mentions"].combine_chunks()
+
+    flat_rel = pc.list_flatten(rel_col)
+    if len(flat_rel) == 0:
+        return TRIPLE_SCHEMA.empty_table()
+    parent = pc.list_parent_indices(rel_col)
+
+    # Start offset of each row's mentions within the flattened mention array
+    # (slice-safe: lengths, not raw buffer offsets).
+    m_lens = pc.list_value_length(ment_col).to_numpy(zero_copy_only=False)
+    m_starts = np.zeros(len(m_lens) + 1, dtype=np.int64)
+    np.cumsum(m_lens, out=m_starts[1:])
+    rel_base = m_starts[parent.to_numpy(zero_copy_only=False)]
+
+    dep = flat_rel.field("dep").to_numpy(zero_copy_only=False).astype(np.int64)
+    dest = flat_rel.field("dest").to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_m = pc.list_flatten(ment_col)
+    subj = pc.take(flat_m, pa.array(rel_base + dep))
+    obj = pc.take(flat_m, pa.array(rel_base + dest))
+    conv = pc.take(batch["conv_id"].combine_chunks(), parent)
+
+    return pa.table(
+        {
+            "conv_id": conv,
+            "subj": subj.field("text"),
+            "subj_label": subj.field("label"),
+            "subj_qid": subj.field("kb_id"),
+            "pred": flat_rel.field("relation"),
+            "obj": obj.field("text"),
+            "obj_label": obj.field("label"),
+            "obj_qid": obj.field("kb_id"),
+        },
+        schema=TRIPLE_SCHEMA,
+    )
