@@ -321,10 +321,16 @@ class RelStage(_ShardingMixin):
         texts = batch[self._text_col].to_pylist()
         mentions_lists = batch[self._mentions_col].to_pylist()
 
+        from ..tasks.rel import _REL_TOKEN_RE
+        from ..tasks.sharding import LazyTokenList
+
         items = []
         for text, mentions in zip(texts, mentions_lists):
             pre = preannotate(text, [_span_from_mention(m) for m in mentions])
-            items.append((pre, rel_tokenize(pre)))
+            # Tokens feed ONLY the shard mapper here (REL parsing works on
+            # marker ids, not token alignment): defer Token construction —
+            # single-shard docs need just the count.
+            items.append((pre, LazyTokenList(pre, rel_tokenize, _REL_TOKEN_RE)))
         results = self._map_and_call(items, self._render)
 
         rel_col = []

@@ -22,6 +22,48 @@ from typing import Callable, List
 from ..tokenizer import Token
 
 
+class LazyTokenList:
+    """List-like token sequence that defers Token construction.
+
+    The shard mapper needs only ``len(tokens)`` when a document fits one
+    shard (the overwhelmingly common case), so ``__len__`` counts regex
+    matches without building Token objects; any indexing/iteration
+    materializes the full list once. Use where the token list is consumed
+    ONLY by the shard mapper (e.g. REL's marker-aware tokenization) — not
+    where parsers later align spans against it.
+    """
+
+    __slots__ = ("_text", "_build", "_count_re", "_toks", "_n")
+
+    def __init__(self, text: str, build: Callable, count_re):
+        self._text = text
+        self._build = build
+        self._count_re = count_re
+        self._toks = None
+        self._n = None
+
+    def _materialize(self):
+        if self._toks is None:
+            self._toks = self._build(self._text)
+        return self._toks
+
+    def __len__(self) -> int:
+        if self._toks is not None:
+            return len(self._toks)
+        if self._n is None:
+            n = 0
+            for n, _ in enumerate(self._count_re.finditer(self._text), 1):
+                pass
+            self._n = n
+        return self._n
+
+    def __getitem__(self, i):
+        return self._materialize()[i]
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+
 def count_tokens_by_spaces(value: str) -> int:
     """spacy.NTokenEstimator.v1 (sharding.py:16-17)."""
     return len(value.split())
