@@ -60,3 +60,25 @@ def test_unshardable_raises():
     mapper = make_shard_mapper()
     with pytest.raises(ValueError, match="shard of length 1"):
         mapper(TEXT, tokenize(TEXT), 2, render_count)
+
+
+def test_lazy_token_list_defers_construction():
+    """len() counts without building Tokens; indexing materializes once and
+    agrees with the eager tokenizer (the REL shard-mapper contract)."""
+    from spacy_llm_ray.tasks.rel import _REL_TOKEN_RE, rel_tokenize
+    from spacy_llm_ray.tasks.sharding import LazyTokenList
+
+    calls = []
+
+    def counting_build(text):
+        calls.append(text)
+        return rel_tokenize(text)
+
+    text = "Alice [ENT0:PER] visited [ENT1:LOC] Berlin, twice."
+    lazy = LazyTokenList(text, counting_build, _REL_TOKEN_RE)
+    eager = rel_tokenize(text)
+    assert len(lazy) == len(eager)
+    assert calls == []  # len() did NOT materialize
+    assert lazy[0] == eager[0] and list(lazy) == eager
+    assert calls == [text]  # materialized exactly once
+    assert len(lazy) == len(eager)  # post-materialization len still right
