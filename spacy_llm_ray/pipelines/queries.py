@@ -1488,7 +1488,7 @@ def q_task_raw_rest(sf_dir: str):
 def q_task_lemma(sf_dir: str):
     from ..models.mock import MockLemmaModel
     from ..templates import lemma_prompt
-    from ..tokenizer import tokenize
+    from ..tokenizer import token_count
 
     ds = _task_stage(
         sf_dir, MockLemmaModel(), lemma_prompt, parse_lemma_response,
@@ -1501,7 +1501,7 @@ def q_task_lemma(sf_dir: str):
             {
                 "doc_id": b["doc_id"],
                 "n_toks": pa.array(
-                    [len(tokenize(t)) for t in b["text"].to_pylist()], type=pa.int64()
+                    [token_count(t) for t in b["text"].to_pylist()], type=pa.int64()
                 ),
             }
         ),

@@ -479,6 +479,7 @@ def build_canonical_mapping_dataset(
         "surface",
         "comp",
         surf_schema,
+        n_out=num_partitions,
     )
     return surf_comp.join(
         comp_canon, join_type="inner", num_partitions=num_partitions, on=("comp",)

@@ -35,14 +35,33 @@ def explode_triples(batch: pa.Table) -> pa.Table:
     parent = pc.list_parent_indices(rel_col)
 
     # Start offset of each row's mentions within the flattened mention array
-    # (slice-safe: lengths, not raw buffer offsets).
-    m_lens = pc.list_value_length(ment_col).to_numpy(zero_copy_only=False)
+    # (slice-safe: lengths, not raw buffer offsets). Null mention lists
+    # contribute zero flattened values, so fill_null(0) is exact — without
+    # it a single null row turns every later offset into NaN garbage.
+    m_lens = (
+        pc.fill_null(pc.list_value_length(ment_col), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     m_starts = np.zeros(len(m_lens) + 1, dtype=np.int64)
     np.cumsum(m_lens, out=m_starts[1:])
-    rel_base = m_starts[parent.to_numpy(zero_copy_only=False)]
+    parent_np = parent.to_numpy(zero_copy_only=False)
+    rel_base = m_starts[parent_np]
 
-    dep = flat_rel.field("dep").to_numpy(zero_copy_only=False).astype(np.int64)
-    dest = flat_rel.field("dest").to_numpy(zero_copy_only=False).astype(np.int64)
+    dep_arr, dest_arr = flat_rel.field("dep"), flat_rel.field("dest")
+    if dep_arr.null_count or dest_arr.null_count:
+        raise ValueError("rel rows with null dep/dest indices")
+    dep = dep_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    dest = dest_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    # Loud failure on out-of-range mention indices (the old row loop raised
+    # IndexError); in flattened space a bad index would otherwise silently
+    # gather a NEIGHBORING document's mention.
+    row_len = m_lens[parent_np]
+    bad = (dep < 0) | (dep >= row_len) | (dest < 0) | (dest >= row_len)
+    if bad.any():
+        raise IndexError(
+            f"rel mention index out of range in {int(bad.sum())} rel row(s)"
+        )
     flat_m = pc.list_flatten(ment_col)
     subj = pc.take(flat_m, pa.array(rel_base + dep))
     obj = pc.take(flat_m, pa.array(rel_base + dest))

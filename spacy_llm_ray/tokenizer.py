@@ -69,11 +69,17 @@ class Span(NamedTuple):
 # constructions per doc. CPython caches str.__hash__, so repeat lookups on
 # the same string object cost a pointer compare. Results are immutable in
 # practice (callers never mutate the list — see Tokenization, shard slicing).
+# Bounded by BYTES as well as entries: long-lived task workers must not pin
+# hundreds of MB of document text + Token lists (a Token list costs roughly
+# 10x its text bytes).
 _TOKENIZE_CACHE: dict = {}
 _TOKENIZE_CACHE_MAX = 2048
+_TOKENIZE_CACHE_MAX_BYTES = 16 << 20  # of cached TEXT; tokens ~10x this
+_tokenize_cache_bytes = 0
 
 
 def tokenize(text: str) -> List[Token]:
+    global _tokenize_cache_bytes
     cached = _TOKENIZE_CACHE.get(text)
     if cached is not None:
         return cached
@@ -81,10 +87,25 @@ def tokenize(text: str) -> List[Token]:
     for i, m in enumerate(_TOKEN_RE.finditer(text)):
         s, e = m.span()
         out.append(Token(text[s:e], s, e, i))
-    if len(_TOKENIZE_CACHE) >= _TOKENIZE_CACHE_MAX:
+    if (
+        len(_TOKENIZE_CACHE) >= _TOKENIZE_CACHE_MAX
+        or _tokenize_cache_bytes >= _TOKENIZE_CACHE_MAX_BYTES
+    ):
         _TOKENIZE_CACHE.clear()
+        _tokenize_cache_bytes = 0
     _TOKENIZE_CACHE[text] = out
+    _tokenize_cache_bytes += len(text)
     return out
+
+
+def token_count(text: str) -> int:
+    """Number of tokens WITHOUT building Token objects or touching the memo
+    — for count-only consumers (e.g. the docs_token_count query), which
+    would otherwise fill the cache with single-use texts."""
+    n = 0
+    for n, _ in enumerate(_TOKEN_RE.finditer(text), 1):
+        pass
+    return n
 
 
 class Tokenization:

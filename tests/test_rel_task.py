@@ -53,3 +53,54 @@ def test_invalid_json_lines_skipped():
         RelationItem(dep=0, dest=1, relation="A"),
         RelationItem(dep=1, dest=0, relation="B"),
     ]
+
+
+def _explode_batch(rows):
+    import pyarrow as pa
+
+    from spacy_llm_ray.stages.schemas import MENTION_TYPE, REL_TYPE
+
+    def m(text):
+        return {"text": text, "label": "X", "kb_id": "NIL",
+                "start_char": 0, "end_char": len(text),
+                "start_tok": 0, "end_tok": 1}
+
+    return pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "mentions": pa.array(
+            [[m(t) for t in r[1]] if r[1] is not None else None for r in rows],
+            type=pa.list_(MENTION_TYPE),
+        ),
+        "rel": pa.array([r[2] for r in rows], type=pa.list_(REL_TYPE)),
+    })
+
+
+def test_explode_triples_null_mentions_row():
+    """A null mentions list (e.g. parquet round-trip of an empty row) must
+    not poison the flattened offsets of LATER rows."""
+    from spacy_llm_ray.stages.triples import explode_triples
+
+    batch = _explode_batch([
+        ("c0", ["a", "b"], [{"dep": 0, "dest": 1, "relation": "R"}]),
+        ("c1", None, []),
+        ("c2", ["x", "y"], [{"dep": 1, "dest": 0, "relation": "S"}]),
+    ])
+    out = explode_triples(batch).to_pylist()
+    assert [(r["conv_id"], r["subj"], r["obj"]) for r in out] == [
+        ("c0", "a", "b"), ("c2", "y", "x"),
+    ]
+
+
+def test_explode_triples_out_of_range_index_raises():
+    """An out-of-range mention index must fail loudly, never gather a
+    neighboring document's mention."""
+    import pytest
+
+    from spacy_llm_ray.stages.triples import explode_triples
+
+    batch = _explode_batch([
+        ("c0", ["a", "b"], [{"dep": 0, "dest": 2, "relation": "R"}]),
+        ("c1", ["c"], []),
+    ])
+    with pytest.raises(IndexError, match="out of range"):
+        explode_triples(batch)
