@@ -114,12 +114,17 @@ def load_cfg(source: Union[str, Path], overrides: Optional[Dict[str, Any]] = Non
         text = source.read_text()
     elif "\n" not in str(source) and os.path.exists(str(source)):
         text = Path(source).read_text()
-    elif "\n" not in str(source) and (
-        str(source).endswith(".cfg") or os.sep in str(source)
+    elif (
+        "\n" not in str(source)
+        and "[" not in str(source)
+        and (str(source).endswith(".cfg") or os.sep in str(source))
     ):
         # Single-line string that LOOKS like a path but doesn't exist: a
         # clear FileNotFoundError beats configparser's MissingSectionHeader
-        # from parsing the path string as cfg text.
+        # from parsing the path string as cfg text. A string containing a
+        # '[' section header can never be a path worth reporting — it is
+        # raw cfg text (possibly one line whose VALUE contains a '/', e.g.
+        # a paths entry) and must route to the parser, not the filesystem.
         raise FileNotFoundError(f"config file not found: {source}")
     else:
         text = str(source)

@@ -54,6 +54,36 @@ def _read(sf_dir: str, table: str, columns=None):
     )
 
 
+def _table_bytes(sf_dir: str, table: str) -> int:
+    """On-disk parquet bytes of a table (file or directory of parts)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return os.path.getsize(path) if os.path.exists(path) else 0
+
+
+def _join_partitions(*nbytes: int, target_bytes: int = 64 << 20,
+                     expansion: int = 4) -> int:
+    """Hash-join partition count derived from estimated INPUT bytes, not a
+    CPU multiple (r3 VERDICT #8): Ray's per-partition aggregator overhead is
+    fixed (~0.1 s each locally), so partitions should each hold
+    ~``target_bytes`` of estimated in-memory data — a couple of partitions
+    at test scale, thousands at 100 TB. ``expansion`` is the parquet ->
+    in-memory blow-up. Floor 2 (hash joins need >= 2 to overlap build and
+    probe); cap at 4x cluster CPUs so one join cannot flood the scheduler
+    with reducers the node cannot run."""
+    import ray
+
+    est = sum(nbytes) * expansion
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return int(max(2, min(4 * cpus, -(-est // target_bytes))))
+
+
 def _transcripts_sql_path(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """The oracle runs at sf0.01; the generated parquet path is deterministic."""
     name = os.path.basename(str(sf_dir).rstrip("/"))
@@ -322,14 +352,11 @@ def q_q3_top_orders(sf_dir: str):
     """Shipping-priority-style query: BUILDING customers, orders before /
     lineitems after a date, revenue per order, top 10.
 
-    customer is broadcast (small side); orders |><| lineitem uses the
-    hash-partitioned ``Dataset.join``."""
-    import numpy as np
-    import ray
-
-    # Build the BUILDING key set distributed: filter + project inside
-    # map_batches so only MATCHING keys ever reach the driver (r2 VERDICT
-    # fix — never to_pandas() a full dimension table driver-side).
+    Fully distributed (r3 VERDICT #1b): the BUILDING key set is a filtered
+    key *Dataset* semi-joined against orders with the hash-partitioned
+    ``Dataset.join`` — no key bytes ever reach the driver (the former
+    broadcast collect was bounded by segment selectivity, still a multi-GB
+    driver array at 100x). Partition counts derive from input bytes."""
     building = _read(
         sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
     ).map_batches(
@@ -338,33 +365,30 @@ def q_q3_top_orders(sf_dir: str):
         ).select(["c_custkey"]),
         batch_format="pyarrow",
     )
-    chunks = [
-        b["c_custkey"].to_numpy(zero_copy_only=False)
-        for b in building.iter_batches(batch_format="pyarrow")
-    ]
-    keys = np.unique(np.concatenate(chunks)) if chunks else np.array([], dtype=np.int64)
-    keys_ref = ray.put(keys)
 
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-
-    class _SemiFilter:
-        def __init__(self, ref):
-            self._keys = pa.array(ray.get(ref), type=pa.int64())
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            # Vectorized semi-join filter (pc.is_in), no per-row Python.
-            return batch.filter(
-                pc.is_in(batch["o_custkey"], value_set=self._keys)
-            )
-
-    orders = stage_map_batches(
-        orders, _SemiFilter, dict(ref=keys_ref), concurrency=(1, 2)
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(
         lambda b: b.filter(
             pc.less(b["o_orderdate"], pa.scalar(pd.Timestamp("1998-01-01")))
         ),
         batch_format="pyarrow",
     )
+
+    # Shuffle semi-join orders |>< customer(BUILDING): c_custkey is unique in
+    # customer, so the inner join emits each qualifying order exactly once.
+    n_semi = _join_partitions(
+        _table_bytes(sf_dir, "orders"), _table_bytes(sf_dir, "customer")
+    )
+    orders = orders.join(
+        building,
+        join_type="inner",
+        num_partitions=n_semi,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    ).select_columns(["o_orderkey"]).repartition(n_semi)
+    # ^ repartition: a join's empty output blocks are schema-less and crash
+    # the next hash join; rebuilding blocks drops them.
 
     li = _read(
         sf_dir, "lineitem",
@@ -376,12 +400,9 @@ def q_q3_top_orders(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    import ray as _ray
-
-    # Hash-join partition count: per-partition aggregator overhead is fixed
-    # (~0.1s each), so track cores/4 on one node; at cluster scale this
-    # should instead track input bytes / target partition size.
-    n_parts = max(4, int(_ray.cluster_resources().get("CPU", 8)) // 4)
+    n_parts = _join_partitions(
+        _table_bytes(sf_dir, "lineitem"), _table_bytes(sf_dir, "orders")
+    )
     joined = li.join(
         orders,
         join_type="inner",
@@ -427,7 +448,6 @@ def q_revenue_by_nation(sf_dir: str):
     only "small" at test scale — r1 VERDICT fix); nation (25 rows) stays a
     broadcast dict. Pre-aggregating orders per customer BEFORE the join
     shrinks the fact side to one row per customer."""
-    import ray
     from ray.data.aggregate import Count, Sum
 
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
@@ -443,7 +463,9 @@ def q_revenue_by_nation(sf_dir: str):
         )
     )
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    n_parts = _join_partitions(
+        _table_bytes(sf_dir, "orders"), _table_bytes(sf_dir, "customer")
+    )
     joined = orders.join(
         cust,
         join_type="inner",
@@ -823,7 +845,6 @@ def q_docs_curation(sf_dir: str):
     over the corpus, one tiny groupby for exact groups, the distributed
     MinHash pipeline for near-dups, two hash joins to attach the group
     labels. Everything streams; nothing is driver-materialized."""
-    import ray
     from ray.data.aggregate import Min
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -842,7 +863,9 @@ def q_docs_curation(sf_dir: str):
         ["doc_id", "dup_group"]
     )
 
-    n_join = max(2, int(ray.cluster_resources().get("CPU", 8)) // 8)
+    # Byte-derived (r3 VERDICT #8): the joined sides are per-doc key/flag
+    # projections of the documents table, so documents' size bounds both.
+    n_join = _join_partitions(_table_bytes(sf_dir, "documents"))
     joined = enriched.select_columns(
         ["doc_id", "lang_pred", "n_words", "fingerprint"]
     ).join(
@@ -1365,7 +1388,7 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 # prompt -> model -> parse path runs for every row)
 
 def _task_stage(sf_dir: str, model, prompt_fn, parse_fn, out_col, out_type,
-                reduce="join"):
+                reduce="join", post_fn=None):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return stage_map_batches(
         ds,
@@ -1373,6 +1396,7 @@ def _task_stage(sf_dir: str, model, prompt_fn, parse_fn, out_col, out_type,
         dict(
             model=model, prompt_fn=prompt_fn, parse_fn=parse_fn,
             out_col=out_col, out_type=out_type, reduce=reduce,
+            post_fn=post_fn,
         ),
         batch_size=128,
         concurrency=(1, 4),
@@ -1485,38 +1509,26 @@ def q_task_raw_rest(sf_dir: str):
     )
 
 
+def _lemma_guard(pairs, tokens):
+    """Reference count guard applied IN-STAGE (module scope for a stable
+    warm-task cache key): the stage already tokenizes each doc, so the guard
+    compares the concat-reduced lemma pairs against the doc's own token
+    count — no corpus-wide token-count pass and no driver-side dict
+    (r3 VERDICT: the last full-table driver materialization in the query
+    surface). Mirrors /root/reference/spacy_llm/tasks/lemma/task.py:56-61
+    (per-doc guard, not global)."""
+    lem = apply_lemmas(len(tokens), pairs)
+    return " ".join(lem) if lem is not None else ""
+
+
 def q_task_lemma(sf_dir: str):
     from ..models.mock import MockLemmaModel
     from ..templates import lemma_prompt
-    from ..tokenizer import token_count
 
-    ds = _task_stage(
+    return _task_stage(
         sf_dir, MockLemmaModel(), lemma_prompt, parse_lemma_response,
-        "lemma_pairs", pa.list_(pa.list_(pa.string())), reduce="concat_list",
+        "lemmas", pa.string(), reduce="concat_list", post_fn=_lemma_guard,
     )
-
-    # Apply the reference's count guard against the doc token count and join.
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "n_toks": pa.array(
-                    [token_count(t) for t in b["text"].to_pylist()], type=pa.int64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    n_toks = dict(zip(docs["doc_id"], docs["n_toks"]))
-
-    def finish(batch: pa.Table) -> pa.Table:
-        out = []
-        for did, pairs in zip(batch["doc_id"].to_pylist(), batch["lemma_pairs"].to_pylist()):
-            lem = apply_lemmas(n_toks[did], pairs)
-            out.append(" ".join(lem) if lem is not None else "")
-        return pa.table({"doc_id": batch["doc_id"], "lemmas": pa.array(out)})
-
-    return ds.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_TASK_LEMMA = r"""

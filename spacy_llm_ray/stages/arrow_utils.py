@@ -38,8 +38,22 @@ def clean_read_schema(path: str, columns=None) -> pa.Schema:
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
-        inner = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
-        path = os.path.join(path, inner[0])
+        # Recurse: the _input_units / partitioned writers lay parts out in
+        # unit=N/ (or part=N/) subdirectories; take the lexically first part
+        # found anywhere under the root (writers emit a uniform schema).
+        first = None
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            parts = sorted(f for f in files if f.endswith(".parquet"))
+            if parts:
+                first = os.path.join(root, parts[0])
+                break
+        if first is None:
+            raise FileNotFoundError(
+                f"no .parquet parts found under directory {path!r} "
+                "(empty or not a parquet dataset)"
+            )
+        path = first
     s = pq.read_schema(path).remove_metadata()
     if columns:
         s = pa.schema([s.field(c) for c in columns])

@@ -23,36 +23,96 @@ A stateful map_batches stage can execute two ways:
 GPU weights or cap in-flight API requests; mock / NoOp codecs: False), or
 an explicit ``use_actors`` override. On a multi-node 100 TB run the
 actor-pool path is the default for real model backends; the task path keeps
-light stages from serializing the cluster behind pool startup.
+light stages from serializing the cluster behind pool startup. When several
+pipelines share a cluster, cap a light stage's fan-out with
+``task_max_in_flight`` so it cannot starve a model pool of task slots.
+
+Cache identity: the warm-worker stage cache is keyed on the *content* of
+``(stage_cls, stage_kwargs)`` (a cloudpickle sha256), not on the ObjectRef
+identity of any particular ``ray.put`` — so repeat invocations of the same
+stage config hit the same cached instance even though each driver call
+would otherwise mint a fresh ref. The driver memoizes one kwargs ref per
+content key (which also keeps the ref alive for the run), and workers evict
+stale same-class entries so superseded configs (e.g. a re-tuned MinHash
+stage holding a multi-hundred-MB memo) don't pin dead memory for the life
+of the worker process.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Type
+import hashlib
+from typing import Any, Dict, Optional, Tuple, Type
 
-# Per-worker-process cache: (stage_cls, kwargs_ref_hex) -> instance.
-# Bounded FIFO so long-lived workers serving many pipeline invocations
-# don't accumulate stages.
-_STAGE_CACHE: Dict[Any, Any] = {}
+# Per-worker-process cache: (stage_cls, content_key) -> instance. Bounded
+# two ways: globally FIFO, and per stage class (a new config of the same
+# class replaces the oldest same-class entry beyond _PER_CLASS_MAX — large
+# per-instance memos must not accumulate across config changes).
+_STAGE_CACHE: Dict[Tuple[Type, str], Any] = {}
 _STAGE_CACHE_MAX = 16
+_PER_CLASS_MAX = 2
+
+# Driver-side memo: content key -> ObjectRef of stage_kwargs. One ray.put
+# per distinct config per session; holding the ref here keeps the object
+# alive for all in-flight Datasets that reference it.
+_KWARGS_REF_MEMO: Dict[str, Any] = {}
+_KWARGS_REF_MEMO_MAX = 64
 
 
-def _cached_stage(stage_cls: Type, kwargs_ref) -> Any:
+def _content_key(stage_cls: Type, stage_kwargs: Dict[str, Any]) -> Optional[str]:
+    """Deterministic key for a stage config, or None if unpicklable.
+
+    cloudpickle bytes are stable within a driver process for the payloads
+    stages carry (primitives, numpy arrays, functions defined at module
+    scope, ObjectRefs — whose serialized form embeds the stable ref id).
+    """
+    try:
+        from ray import cloudpickle
+
+        blob = cloudpickle.dumps(
+            (stage_cls.__module__, stage_cls.__qualname__, stage_kwargs)
+        )
+        return hashlib.sha256(blob).hexdigest()
+    except Exception:
+        return None
+
+
+def _cached_stage(stage_cls: Type, kwargs_ref, content_key: Optional[str]) -> Any:
     import ray
 
-    key = (stage_cls, kwargs_ref.hex())
+    key = (stage_cls, content_key if content_key is not None else kwargs_ref.hex())
     inst = _STAGE_CACHE.get(key)
     if inst is None:
         kwargs = ray.get(kwargs_ref)
         inst = stage_cls(**kwargs)
-        if len(_STAGE_CACHE) >= _STAGE_CACHE_MAX:
+        # Evict oldest same-class entries first (dicts are insertion-ordered):
+        # a superseded config of the same stage class is the likeliest dead
+        # weight (its memos can be large), and replacing it keeps unrelated
+        # stages warm.
+        same_cls = [k for k in _STAGE_CACHE if k[0] is stage_cls]
+        while len(same_cls) >= _PER_CLASS_MAX:
+            _STAGE_CACHE.pop(same_cls.pop(0))
+        while len(_STAGE_CACHE) >= _STAGE_CACHE_MAX:
             _STAGE_CACHE.pop(next(iter(_STAGE_CACHE)))
         _STAGE_CACHE[key] = inst
     return inst
 
 
-def _stage_task(batch, _stage_cls=None, _kwargs_ref=None):
-    return _cached_stage(_stage_cls, _kwargs_ref)(batch)
+def _stage_task(batch, _stage_cls=None, _kwargs_ref=None, _content_key=None):
+    return _cached_stage(_stage_cls, _kwargs_ref, _content_key)(batch)
+
+
+def _kwargs_ref_for(content_key: Optional[str], stage_kwargs: Dict[str, Any]):
+    import ray
+
+    if content_key is None:
+        return ray.put(stage_kwargs)
+    ref = _KWARGS_REF_MEMO.get(content_key)
+    if ref is None:
+        ref = ray.put(stage_kwargs)
+        while len(_KWARGS_REF_MEMO) >= _KWARGS_REF_MEMO_MAX:
+            _KWARGS_REF_MEMO.pop(next(iter(_KWARGS_REF_MEMO)))
+        _KWARGS_REF_MEMO[content_key] = ref
+    return ref
 
 
 def models_require_actors(*models) -> bool:
@@ -72,12 +132,16 @@ def stage_map_batches(
     batch_format: str = "pyarrow",
     zero_copy_batch: bool = False,
     models=(),
+    task_max_in_flight: Optional[int] = None,
 ):
     """``ds.map_batches(stage_cls, ...)`` routed per the policy above.
 
     ``models``: model objects consulted for ``requires_actor_pool`` when
     ``use_actors`` is not given. ``concurrency`` only constrains the actor
-    path; the task path lets the streaming executor use every free slot.
+    path; the task path lets the streaming executor use every free slot
+    unless ``task_max_in_flight`` caps concurrent tasks (set it when this
+    stage shares the cluster with other pipelines — an uncapped light stage
+    can otherwise starve a model pool).
     """
     if use_actors is None:
         use_actors = models_require_actors(*models)
@@ -91,14 +155,18 @@ def stage_map_batches(
             num_cpus=num_cpus,
             zero_copy_batch=zero_copy_batch,
         )
-    import ray
-
-    kwargs_ref = ray.put(stage_kwargs)
+    key = _content_key(stage_cls, stage_kwargs)
+    kwargs_ref = _kwargs_ref_for(key, stage_kwargs)
     return ds.map_batches(
         _stage_task,
-        fn_kwargs={"_stage_cls": stage_cls, "_kwargs_ref": kwargs_ref},
+        fn_kwargs={
+            "_stage_cls": stage_cls,
+            "_kwargs_ref": kwargs_ref,
+            "_content_key": key,
+        },
         batch_format=batch_format,
         batch_size=batch_size,
+        concurrency=task_max_in_flight,
         num_cpus=num_cpus,
         zero_copy_batch=zero_copy_batch,
     )

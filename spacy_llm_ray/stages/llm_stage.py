@@ -573,6 +573,7 @@ class LLMTaskStage(_ShardingMixin):
         reduce: str = "join",
         text_col: str = "text",
         save_io: bool = False,
+        post_fn: Optional[Callable[[Any, Sequence], Any]] = None,
     ):
         assert reduce in self._REDUCERS, reduce
         self._model = _maybe_get(model)
@@ -583,6 +584,12 @@ class LLMTaskStage(_ShardingMixin):
         self._reduce = reduce
         self._text_col = text_col
         self._save_io = save_io
+        # post_fn(combined_value, doc_tokens) -> final value: per-doc
+        # finalizers that need the document's own tokenization, e.g. the
+        # Lemma count guard (reference applies it per doc against the doc's
+        # token count, tasks/lemma/task.py — the stage already tokenizes, so
+        # no separate corpus-wide count pass or driver-side dict is needed).
+        self._post_fn = post_fn
         self._shard_mapper = make_shard_mapper()
         self._context_length = getattr(self._model, "context_length", None)
 
@@ -618,6 +625,9 @@ class LLMTaskStage(_ShardingMixin):
         for (text, tokens), (shards, responses, _prompts) in zip(items, results):
             vals = [self._parse_fn(r) for r in responses]
             weights = [s.tok_end - s.tok_start for s in shards]
-            col.append(self._combine(vals, weights))
+            combined = self._combine(vals, weights)
+            if self._post_fn is not None:
+                combined = self._post_fn(combined, tokens)
+            col.append(combined)
         batch = batch.append_column(self._out_col, pa.array(col, type=self._out_type))
         return self._maybe_save_io(batch, results)

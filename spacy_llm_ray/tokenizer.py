@@ -67,32 +67,36 @@ class Span(NamedTuple):
 # in its NER and EL sub-stages (and shard probes re-tokenize shard text), so
 # the second call is a dict hit instead of a full regex scan + ~600 Token
 # constructions per doc. CPython caches str.__hash__, so repeat lookups on
-# the same string object cost a pointer compare. Results are immutable in
-# practice (callers never mutate the list — see Tokenization, shard slicing).
+# the same string object cost a pointer compare. The cached value is a TUPLE
+# so sharing across callers is safe by construction (a caller that tried to
+# append/replace tokens would raise, not silently corrupt other stages).
 # Bounded by BYTES as well as entries: long-lived task workers must not pin
-# hundreds of MB of document text + Token lists (a Token list costs roughly
-# 10x its text bytes).
+# hundreds of MB of document text + Token tuples (a Token tuple costs
+# roughly 10x its text bytes). Eviction is oldest-first (insertion order),
+# not clear-everything, so a working set slightly over the bound sheds only
+# its coldest entries instead of thrashing the whole memo.
 _TOKENIZE_CACHE: dict = {}
 _TOKENIZE_CACHE_MAX = 2048
 _TOKENIZE_CACHE_MAX_BYTES = 16 << 20  # of cached TEXT; tokens ~10x this
 _tokenize_cache_bytes = 0
 
 
-def tokenize(text: str) -> List[Token]:
+def tokenize(text: str) -> Sequence[Token]:
     global _tokenize_cache_bytes
     cached = _TOKENIZE_CACHE.get(text)
     if cached is not None:
         return cached
-    out = []
-    for i, m in enumerate(_TOKEN_RE.finditer(text)):
-        s, e = m.span()
-        out.append(Token(text[s:e], s, e, i))
-    if (
+    out = tuple(
+        Token(text[m.start(): m.end()], m.start(), m.end(), i)
+        for i, m in enumerate(_TOKEN_RE.finditer(text))
+    )
+    while _TOKENIZE_CACHE and (
         len(_TOKENIZE_CACHE) >= _TOKENIZE_CACHE_MAX
         or _tokenize_cache_bytes >= _TOKENIZE_CACHE_MAX_BYTES
     ):
-        _TOKENIZE_CACHE.clear()
-        _tokenize_cache_bytes = 0
+        old = next(iter(_TOKENIZE_CACHE))
+        _TOKENIZE_CACHE.pop(old)
+        _tokenize_cache_bytes -= len(old)
     _TOKENIZE_CACHE[text] = out
     _tokenize_cache_bytes += len(text)
     return out

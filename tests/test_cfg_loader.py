@@ -373,3 +373,11 @@ def test_reference_cfg_serde_roundtrip(ray_session, monkeypatch):
     nlp2 = AssembledPipeline.from_bytes(blob, models=models)
     texts = ["I love garlic bread.", "plain text"]
     assert nlp(texts).take_all() == nlp2(texts).take_all()
+
+
+def test_single_line_raw_cfg_with_slash_parses():
+    # r3 ADVICE: a one-line raw cfg containing a '/' (e.g. a section name
+    # with a path-ish component) must route to the parser — the '[' header
+    # marks it as cfg text — not raise FileNotFoundError because the string
+    # contains os.sep.
+    assert load_cfg("[paths/v1]") == {"paths/v1": {}}

@@ -55,3 +55,36 @@ def test_filter_spans_tie_earliest():
     kept = filter_spans(spans)
     # All length 2: earliest-start wins ties greedily -> (0,2) then (2,4).
     assert [(s.start_tok, s.end_tok) for s in kept] == [(0, 2), (2, 4)]
+
+
+def test_tokenize_memo_returns_immutable_and_evicts_incrementally():
+    # r3 ADVICE: the memoized token sequence is shared across callers, so it
+    # must be immutable (a tuple) — and eviction sheds oldest entries only,
+    # not the whole memo.
+    import pytest as _pytest
+
+    from spacy_llm_ray import tokenizer as tk
+
+    toks = tokenize("shared memo text.")
+    assert isinstance(toks, tuple)
+    with _pytest.raises((TypeError, AttributeError)):
+        toks[0] = None  # type: ignore[index]
+    assert tokenize("shared memo text.") is toks  # cache hit
+
+    # Incremental eviction: overflow by entry count sheds the OLDEST entry
+    # while keeping the rest (the old behavior cleared everything).
+    old_max = tk._TOKENIZE_CACHE_MAX
+    tk._TOKENIZE_CACHE.clear()
+    tk._tokenize_cache_bytes = 0
+    tk._TOKENIZE_CACHE_MAX = 3
+    try:
+        for t in ("first doc", "second doc", "third doc"):
+            tokenize(t)
+        tokenize("fourth doc")  # evicts exactly one (the oldest)
+        assert "first doc" not in tk._TOKENIZE_CACHE
+        assert {"second doc", "third doc", "fourth doc"} <= set(tk._TOKENIZE_CACHE)
+        assert tk._tokenize_cache_bytes == sum(len(t) for t in tk._TOKENIZE_CACHE)
+    finally:
+        tk._TOKENIZE_CACHE_MAX = old_max
+        tk._TOKENIZE_CACHE.clear()
+        tk._tokenize_cache_bytes = 0
