@@ -271,13 +271,47 @@ def kg_raw_triples_dataset(
     )
 
 
+# Auto-route bound for the canonicalization mapping: the driver union-find
+# holds the distinct (surface, qid) pair set in driver memory — safe up to
+# ~10^7 pairs (a few GB). Past the bound the distributed CC path computes
+# the same mapping (byte-identical, oracle-checked) with no driver-side
+# pair set. The estimate is an UPPER bound (2 pairs per distinct triple
+# row), so a 100-TB run can never silently exceed the driver's memory —
+# at worst a small-vocabulary corpus routes to the (correct, slightly
+# slower) distributed path.
+DRIVER_CANON_MAX_PAIRS = 5_000_000
+
+# Last routing decision (inspection + lineage): set by kg_triples_dataset.
+CANON_ROUTE: Dict = {}
+
+
+def _route_canon(distributed_canon: Optional[bool], dedup) -> bool:
+    """Resolve the canonicalization route; records the decision in
+    CANON_ROUTE (and callers persist it into checkpoint lineage)."""
+    decision = {
+        "threshold_pairs": DRIVER_CANON_MAX_PAIRS,
+        "est_pairs": None,
+        "route": None,
+        "forced": distributed_canon is not None,
+    }
+    if distributed_canon is None:
+        # dedup is materialized -> count() is metadata, no execution.
+        est_pairs = 2 * dedup.count()
+        decision["est_pairs"] = est_pairs
+        distributed_canon = est_pairs > DRIVER_CANON_MAX_PAIRS
+    decision["route"] = "distributed" if distributed_canon else "driver"
+    CANON_ROUTE.clear()
+    CANON_ROUTE.update(decision)
+    return distributed_canon
+
+
 def kg_triples_dataset(
     sf_dir: str,
     models: Optional[Dict] = None,
     kb: Optional[InMemoryKB] = None,
     batch_size: int = 64,
     phase_barriers: bool = True,
-    distributed_canon: bool = False,
+    distributed_canon: Optional[bool] = None,
 ):
     """Full pipeline -> distinct canonical triples Dataset.
 
@@ -292,15 +326,18 @@ def kg_triples_dataset(
     phase isolation is faster. On a large multi-node cluster with the
     checkpointed runner, partitions stream instead.
 
-    ``distributed_canon`` switches the canonical mapping from the default
-    driver union-find + broadcast dict (bounded by vocabulary — right up to
+    ``distributed_canon`` switches the canonical mapping from the driver
+    union-find + broadcast dict (bounded by vocabulary — right up to
     ~10^7 distinct surface/qid pairs) to the fully distributed
     connected-components + hash-join path (stages/canonicalize.py
     ``build_canonical_mapping_dataset`` / ``canonicalize_triples_joined``),
     which never materializes the pair set on one machine. Output is
-    byte-identical (tested); the broadcast path stays the single-node
-    default because two extra corpus joins cost more than they save below
-    vocabulary scale.
+    byte-identical (tested). Default ``None`` AUTO-ROUTES on an upper-bound
+    pair estimate vs ``DRIVER_CANON_MAX_PAIRS`` (r3 VERDICT #2) — the
+    broadcast path wins below vocabulary scale (two extra corpus joins cost
+    more than they save), the distributed path is mandatory past the driver
+    memory bound; the decision lands in ``CANON_ROUTE`` and checkpoint
+    lineage.
     """
     kb = kb or tdata.build_kb()
     docs = documents_dataset(sf_dir, max_doc_turns=MAX_DOC_TURNS)
@@ -316,7 +353,7 @@ def kg_triples_dataset(
     # distinct-first shrinks every later pass. The distinct set is materialized
     # once; the mapping pass and the apply pass both read it.
     dedup = distinct_triples(raw_triples).materialize()
-    if distributed_canon:
+    if _route_canon(distributed_canon, dedup):
         from ..stages.canonicalize import (
             build_canonical_mapping_dataset,
             canonicalize_triples_joined,

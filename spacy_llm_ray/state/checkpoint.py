@@ -451,8 +451,21 @@ def run_partitioned_kg(
         raw_files, schema=clean_read_schema(raw_files[0])
     )
     dedup = kg.distinct_triples(raw).materialize()
-    mapping = build_canonical_mapping(dedup, kb)
-    canon = canonicalize_triples(dedup, kb, mapping=mapping)
+    # Same auto-route as kg_triples_dataset (r3 VERDICT #2): past the
+    # pair-estimate bound the driver union-find would exceed driver memory,
+    # so flip to the distributed CC + hash-join apply. Decision recorded in
+    # the _SUCCESS lineage record below.
+    if kg._route_canon(None, dedup):
+        from ..stages.canonicalize import (
+            build_canonical_mapping_dataset,
+            canonicalize_triples_joined,
+        )
+
+        mapping_ds = build_canonical_mapping_dataset(dedup, kb)
+        canon = canonicalize_triples_joined(dedup, mapping_ds)
+    else:
+        mapping = build_canonical_mapping(dedup, kb)
+        canon = canonicalize_triples(dedup, kb, mapping=mapping)
     final_ds = canon.select_columns(kg.FINAL_COLUMNS)
     triples_dir = os.path.join(out_dir, "triples")
     tmp = os.path.join(out_dir, f".tmp-triples-{uuid.uuid4().hex[:8]}")
@@ -467,6 +480,7 @@ def run_partitioned_kg(
                 "n_partitions": n_partitions,
                 "completed_now": completed,
                 "skipped_resume": skipped,
+                "canon_route": dict(kg.CANON_ROUTE),
             },
             f,
         )

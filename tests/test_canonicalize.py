@@ -182,3 +182,45 @@ def test_kg_triples_distributed_canon_end_to_end(ray_session):
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(dist, base)
+
+
+def test_canon_auto_route_by_pair_estimate(ray_session, monkeypatch):
+    """r3 VERDICT #2: with distributed_canon unset, the route flips on the
+    upper-bound pair estimate vs DRIVER_CANON_MAX_PAIRS — small corpora take
+    the driver union-find, anything past the bound the distributed CC path —
+    and the decision is recorded in CANON_ROUTE. Outputs are identical."""
+    from spacy_llm_ray.data import ensure_dataset
+    from spacy_llm_ray.pipelines import kg
+
+    sf = ensure_dataset("sf0.001")
+    cols = list(kg.FINAL_COLUMNS)
+
+    base = kg.kg_triples_dataset(sf).to_pandas()[cols]
+    route_small = dict(kg.CANON_ROUTE)
+    assert route_small["route"] == "driver"
+    assert not route_small["forced"]
+    assert 0 < route_small["est_pairs"] <= kg.DRIVER_CANON_MAX_PAIRS
+
+    # Shrink the bound below any real corpus: the auto-route must flip.
+    monkeypatch.setattr(kg, "DRIVER_CANON_MAX_PAIRS", 1)
+    routed = kg.kg_triples_dataset(sf).to_pandas()[cols]
+    route_big = dict(kg.CANON_ROUTE)
+    assert route_big["route"] == "distributed"
+    assert route_big["threshold_pairs"] == 1
+    assert not route_big["forced"]
+
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(
+        routed.sort_values(cols).reset_index(drop=True),
+        base.sort_values(cols).reset_index(drop=True),
+    )
+
+    # Explicit override is honored and marked forced.
+    kg.kg_triples_dataset(sf, distributed_canon=False).count()
+    assert kg.CANON_ROUTE == {
+        "threshold_pairs": 1,
+        "est_pairs": None,
+        "route": "driver",
+        "forced": True,
+    }
