@@ -1339,23 +1339,37 @@ def q_media_features(sf_dir: str):
     return out.map_batches(flatten_features, batch_format="pyarrow")
 
 
-def q_emb_neardup_lsh(sf_dir: str):
-    """Production shape: hyperplane-LSH buckets + multi-probe + in-bucket
-    exact cosine. LSH recall < 1 by design, so the per-pair output is not
-    SQL-predictable; instead the query RETURNS A RECALL CERTIFICATE
-    (r2 VERDICT #7): the exact pair set is computed by the same distributed
-    operator in its degenerate exact configuration, recall of the LSH run
-    is measured against it, and the asserted bound makes the output
-    deterministic — (n_exact_pairs, recall_ok=1) — and therefore
-    oracle-checkable against the SQL cross-join."""
+def emb_neardup_lsh_pairs(sf_dir: str, threshold: float = 0.45,
+                          n_planes: int = 4, n_tables: int = 16):
+    """PRODUCTION artifact: hyperplane-LSH near-dup (a, b, cos) pairs — one
+    LSH pass, no brute-force anywhere (r3 ADVICE: the registered certificate
+    query runs an O(n^2) exact pass by construction and must never be the
+    production entry point). Weak similarity threshold (0.45 -> per-plane
+    collision p ~ 0.65), so OR-amplify: 16 tables of 4 planes gives recall
+    ~ 1-(1-p^4)^16 ~ 0.95."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    # Weak similarity threshold (0.45 -> per-plane collision p ~ 0.65), so
-    # OR-amplify: 16 tables of 4 planes gives recall ~ 1-(1-p^4)^16 ~ 0.95.
-    lsh = dedup_mod.embedding_neardup_pairs(
-        ds, threshold=0.45, n_planes=4, n_tables=16
+    return dedup_mod.embedding_neardup_pairs(
+        ds, threshold=threshold, n_planes=n_planes, n_tables=n_tables
     )
+
+
+def q_emb_neardup_lsh(sf_dir: str):
+    """TEST-SCALE recall certificate for the LSH operator. LSH recall < 1 by
+    design, so the per-pair output is not SQL-predictable; instead this
+    query measures the LSH run against the exact pair set (the same
+    distributed operator in its degenerate n_planes=0 configuration) and
+    asserts the recall bound, making the output deterministic —
+    (n_exact_pairs, recall_ok=1) — and oracle-checkable against the SQL
+    cross-join (r2 VERDICT #7). The exact pass is O(n^2): this is the
+    verification gate, run at oracle scale only; production pipelines use
+    :func:`emb_neardup_lsh_pairs` (pure LSH, no exact pass, nothing
+    driver-collected)."""
+    lsh = emb_neardup_lsh_pairs(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     exact = dedup_mod.embedding_neardup_pairs(ds, threshold=0.45, n_planes=0)
 
+    # Driver pair sets are certificate-only state, bounded by the exact pair
+    # count at oracle scale.
     def pair_set(out_ds):
         s = set()
         for b in out_ds.iter_batches(batch_format="pandas"):

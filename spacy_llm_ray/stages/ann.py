@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .arrow_utils import list_column_matrix
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
@@ -43,8 +45,9 @@ class _BatchTopK:
         self._id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch[self._vec_col].to_pylist(), dtype=np.float64)
-        ids = np.asarray(batch[self._id_col].to_pylist())
+        # Flat-buffer reshape (r3 VERDICT #4), not a to_pylist Python hop.
+        vecs = list_column_matrix(batch[self._vec_col], dtype=np.float64)
+        ids = batch[self._id_col].to_numpy(zero_copy_only=False)
         sims = _normalize(vecs) @ self._qm.T  # (n, q)
         k = min(self._k, len(ids))
         out_q, out_v, out_s = [], [], []
@@ -147,12 +150,12 @@ class _IVFBatchTopK:
         self._id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cid = np.asarray(batch["centroid"].to_pylist())
+        cid = batch["centroid"].to_numpy(zero_copy_only=False)
         keep = np.isin(cid, self._wanted)
         out_q, out_v, out_s = [], [], []
         if keep.any():
-            vecs = np.array(batch[self._vec_col].to_pylist(), dtype=np.float64)[keep]
-            ids = np.asarray(batch[self._id_col].to_pylist())[keep]
+            vecs = list_column_matrix(batch[self._vec_col], dtype=np.float64)[keep]
+            ids = batch[self._id_col].to_numpy(zero_copy_only=False)[keep]
             cid = cid[keep]
             V = _normalize(vecs)
             sims = V @ self._qm.T  # (n_kept, q)
@@ -205,7 +208,7 @@ def ivf_topk(
             self._C = ray.get(c_ref) if isinstance(c_ref, ray.ObjectRef) else c_ref
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float32))
+            vecs = _normalize(list_column_matrix(batch[vec_col], dtype=np.float32))
             cid = np.argmax(vecs @ self._C.T, axis=1).astype(np.int32)
             return batch.append_column("centroid", pa.array(cid))
 

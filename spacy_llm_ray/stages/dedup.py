@@ -29,7 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .arrow_utils import pandas_udf
+from .arrow_utils import list_column_matrix, pandas_udf
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
@@ -582,7 +582,9 @@ def embedding_neardup_pairs(
     import ray
 
     def add_bucket(batch: pa.Table, planes=None) -> pa.Table:
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
+        # Flat-buffer reshape, not to_pylist (r3 VERDICT #4): the vectors
+        # stay one contiguous (n, dim) float32 view of the Arrow block.
+        vecs = list_column_matrix(batch[vec_col], dtype=np.float32)
         reps = []
         for t in range(planes.shape[0]):
             margins = vecs @ planes[t].T  # (n, k)
@@ -617,12 +619,19 @@ def embedding_neardup_pairs(
         lambda b: add_bucket(b, planes=planes), batch_format="pyarrow"
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.drop_duplicates(subset=[id_col]).sort_values(
-            id_col, kind="mergesort"
-        )
-        ids = group[id_col].to_numpy()
-        vecs = np.stack(group[vec_col].to_numpy()).astype(np.float64)
+    _pair_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64())]
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        # Arrow group (not pandas): the vector column reshapes straight from
+        # the flat buffer instead of np.stack over a per-row object column
+        # (r3 VERDICT #4). np.unique(return_index) == drop_duplicates(keep
+        # first) + ascending id sort, so pair emission order is unchanged.
+        ids_all = group[id_col].to_numpy(zero_copy_only=False)
+        mat = list_column_matrix(group[vec_col], dtype=np.float64)
+        ids, first_idx = np.unique(ids_all, return_index=True)
+        vecs = mat[first_idx]
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1
         v = vecs / norms
@@ -640,21 +649,23 @@ def embedding_neardup_pairs(
             ia, ib = np.triu_indices(len(li), k=1)
             mask = sims[ia, ib] >= threshold
             frames.append(
-                pd.DataFrame(
+                pa.table(
                     {
-                        "a": li[ia[mask]],
-                        "b": li[ib[mask]],
-                        "cos": np.round(sims[ia[mask], ib[mask]], 6),
+                        "a": pa.array(li[ia[mask]], type=pa.int64()),
+                        "b": pa.array(li[ib[mask]], type=pa.int64()),
+                        "cos": pa.array(
+                            np.round(sims[ia[mask], ib[mask]], 6),
+                            type=pa.float64(),
+                        ),
                     }
                 )
             )
-        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-             "cos": pd.Series(dtype="float64")}
-        )
+        if not frames:
+            return _pair_schema.empty_table()
+        return pa.concat_tables(frames)
 
     pairs = with_bucket.groupby("bucket").map_groups(
-        pandas_udf(bucket_pairs), batch_format="pandas"
+        bucket_pairs, batch_format="pyarrow"
     )
     if not multiprobe and n_tables <= 1:
         return pairs
