@@ -1288,15 +1288,39 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 """
 
 
+# Media oracle (r3 VERDICT #5): the encoder side writes a gold feature
+# table computed from the RAW arrays (never through the decoders); the
+# query decodes the binary payloads and recomputes the same features, so
+# the driver's value-hash compare verifies every decode path bit-exactly.
+# Versioned filename: bump if the gold computation ever changes.
+_MEDIA_N = 64
+_MEDIA_GOLD_PATH = os.path.join(tdata.DEFAULT_DATA_DIR, "media_gold_v1.parquet")
+
+
+def _ensure_media_gold() -> str:
+    if not os.path.exists(_MEDIA_GOLD_PATH):
+        import pyarrow.parquet as pq
+
+        from ..stages import multimodal as mm
+
+        os.makedirs(tdata.DEFAULT_DATA_DIR, exist_ok=True)
+        tmp = _MEDIA_GOLD_PATH + ".tmp"
+        pq.write_table(mm.media_features_gold(n=_MEDIA_N), tmp)
+        os.replace(tmp, _MEDIA_GOLD_PATH)
+    return _MEDIA_GOLD_PATH
+
+
 def q_media_features(sf_dir: str):
     """Multimodal path with REAL codecs (pure-numpy PPM decode, numpy
-    nearest-neighbor resize, stdlib-wave WAV decode): binary media columns ->
-    pixel tensor -> image features + audio features, all inside actor-pool
-    map_batches stages. Input is the deterministic generated media table
-    (binary payload columns — not SQL-expressible, rows-only check)."""
+    nearest-neighbor resize, stdlib-wave WAV decode, pure-numpy AVI walk):
+    binary media columns -> pixel tensor -> image + audio + sampled-frame
+    features, all inside actor-pool map_batches stages. Input is the
+    deterministic generated media table; the oracle is the encoder-side
+    gold feature parquet (value-checked, r3 VERDICT #5)."""
     from ..stages import multimodal as mm
 
-    ds = _rd().from_arrow(mm.make_fake_media_table(n=64))
+    _ensure_media_gold()
+    ds = _rd().from_arrow(mm.make_fake_media_table(n=_MEDIA_N))
     out = ds.map_batches(
         mm.ImageDecodeStage, batch_format="pyarrow", batch_size=16,
         concurrency=1,
@@ -1337,6 +1361,17 @@ def q_media_features(sf_dir: str):
         return pa.table(cols)
 
     return out.map_batches(flatten_features, batch_format="pyarrow")
+
+
+_ensure_media_gold()  # import-time, like the transcripts table: the oracle
+# SQL below must find the gold parquet whenever the driver runs it.
+
+SQL_MEDIA_FEATURES = f"""
+SELECT media_id, mean_r, mean_g, mean_b, std_r, std_g, std_b,
+       duration_s, rms, zcr, n_frames, fps, n_sampled,
+       vid_mean_r, vid_mean_g, vid_mean_b
+FROM read_parquet('{_MEDIA_GOLD_PATH}')
+"""
 
 
 def emb_neardup_lsh_pairs(sf_dir: str, threshold: float = 0.45,
@@ -1667,7 +1702,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_COSINE_TOPK),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "emb_neardup_lsh": (q_emb_neardup_lsh, SQL_EMB_NEARDUP_LSH),
-    "media_features": (q_media_features, None),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     # LLM task stages over documents
     "task_sentiment": (q_task_sentiment, SQL_TASK_SENTIMENT),
     "task_textcat": (q_task_textcat, SQL_TASK_TEXTCAT),

@@ -249,12 +249,22 @@ class ImageFeatureStage:
         self._size = size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        arr = np.array(batch[self._pixels_col].to_pylist(), dtype=np.float32)
+        arr = np.array(batch[self._pixels_col].to_pylist(), dtype=np.float64)
         if arr.size:
             arr = arr.reshape(len(arr), self._size, self._size, 3)
-            feats = np.concatenate(
-                [arr.mean(axis=(1, 2)), arr.std(axis=(1, 2))], axis=1
-            ).astype(np.float32)
+            # Integer-exact accumulation: pixels are uint8, so float64 sum
+            # and sum-of-squares are EXACT (no rounding), making mean/std
+            # independent of batch shape and reduction order — a float32
+            # mean/std here differs in the 4th decimal between batch sizes,
+            # which breaks the encoder-side gold comparison.
+            npx = self._size * self._size  # power of two -> exact division
+            sums = arr.sum(axis=(1, 2))
+            sumsq = (arr * arr).sum(axis=(1, 2))
+            mean = sums / npx
+            var = np.maximum(sumsq / npx - mean * mean, 0.0)
+            feats = np.concatenate([mean, np.sqrt(var)], axis=1).astype(
+                np.float32
+            )
         else:
             feats = np.zeros((0, 6), dtype=np.float32)
         col = pa.FixedSizeListArray.from_arrays(
@@ -479,23 +489,32 @@ class VideoFrameSampleStage:
         )
 
 
+def _media_raw_items(n: int = 32, seed: int = 13):
+    """Raw (pre-encode) synthetic media content — the single source for both
+    the binary table and the encoder-side feature gold. The rng call ORDER
+    is part of the determinism contract: payloads must stay byte-identical
+    across calls and versions. Yields (img, tone_f32, clip, fps)."""
+    rng = np.random.RandomState(seed)
+    for i in range(n):
+        h, w = 8 + (i % 5) * 4, 8 + (i % 3) * 8
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        t = np.arange(0, 1600 + 100 * (i % 4)) / 16000.0
+        tone = (0.5 * np.sin(2 * np.pi * (200 + 50 * i) * t)).astype(np.float32)
+        clip = rng.randint(
+            0, 256, size=(3 + (i % 4), 6, 6 + (i % 2), 3), dtype=np.uint8
+        )
+        yield img, tone, clip, 8 + (i % 3)
+
+
 def make_fake_media_table(n: int = 32, seed: int = 13) -> pa.Table:
     """Deterministic synthetic media table: real PPM images (varying sizes
     and content) + real WAV tones + real uncompressed AVI clips, as binary
     columns."""
-    rng = np.random.RandomState(seed)
     img_payloads, wav_payloads, avi_payloads = [], [], []
-    for i in range(n):
-        h, w = 8 + (i % 5) * 4, 8 + (i % 3) * 8
-        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    for img, tone, clip, fps in _media_raw_items(n, seed):
         img_payloads.append(encode_ppm(img))
-        t = np.arange(0, 1600 + 100 * (i % 4)) / 16000.0
-        tone = 0.5 * np.sin(2 * np.pi * (200 + 50 * i) * t)
-        wav_payloads.append(encode_wav(tone.astype(np.float32)))
-        clip = rng.randint(
-            0, 256, size=(3 + (i % 4), 6, 6 + (i % 2), 3), dtype=np.uint8
-        )
-        avi_payloads.append(encode_avi_rgb(clip, fps=8 + (i % 3)))
+        wav_payloads.append(encode_wav(tone))
+        avi_payloads.append(encode_avi_rgb(clip, fps=fps))
     return pa.table(
         {
             "media_id": pa.array(list(range(n)), type=pa.int64()),
@@ -504,3 +523,74 @@ def make_fake_media_table(n: int = 32, seed: int = 13) -> pa.Table:
             "video": pa.array(avi_payloads, type=pa.binary()),
         }
     )
+
+
+def media_features_gold(
+    n: int = 32, seed: int = 13, size: int = 16, every: int = 2
+) -> pa.Table:
+    """ENCODER-SIDE expected features for ``make_fake_media_table(n, seed)``
+    (r3 VERDICT #5: the media value oracle). Computed from the RAW arrays
+    before any container encoding — never through decode_ppm / decode_wav /
+    decode_avi_rgb — replicating the feature stages' arithmetic dtype-for-
+    dtype, so a value comparison against the decode-side pipeline verifies
+    every decode path bit-exactly. PPM and uncompressed AVI round-trip
+    losslessly; WAV's one lossy step (int16 quantization) is the ENCODER's,
+    replicated here from ``encode_wav``'s formula."""
+    import pyarrow.compute as pc
+
+    cols: dict = {k: [] for k in (
+        "media_id", "mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b",
+        "duration_s", "rms", "zcr", "n_frames", "fps", "n_sampled",
+        "vid_mean_r", "vid_mean_g", "vid_mean_b",
+    )}
+    for i, (img, tone, clip, fps) in enumerate(_media_raw_items(n, seed)):
+        cols["media_id"].append(i)
+        # Image: same resize kernel + the integer-exact float64 sum/sumsq
+        # formula ImageFeatureStage uses (batch-shape-invariant, so the
+        # per-item gold matches the batched stage bit-for-bit).
+        resized = img if img.shape[:2] == (size, size) else resize_nearest(
+            img, (size, size)
+        )
+        arr = resized.astype(np.float64)
+        npx = size * size
+        mean = arr.sum(axis=(0, 1)) / npx
+        var = np.maximum((arr * arr).sum(axis=(0, 1)) / npx - mean * mean, 0.0)
+        feats = np.round(
+            np.concatenate([mean, np.sqrt(var)])
+            .astype(np.float32)
+            .astype(np.float64),
+            4,
+        )
+        for j, c in enumerate(("mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b")):
+            cols[c].append(feats[j])
+        # Audio: encode_wav's quantization + the PCM scaling contract
+        # (int16 / 32768), then AudioFeatureStage's float32 reductions.
+        pcm = (np.clip(tone, -1.0, 1.0) * 32767.0).astype("<i2")
+        x = pcm.astype(np.float32) / 32768.0
+        cols["duration_s"].append(len(x) / 16000 if len(x) else 0.0)
+        cols["rms"].append(float(np.sqrt((x ** 2).mean())) if len(x) else 0.0)
+        cols["zcr"].append(
+            float((np.diff(np.signbit(x)) != 0).mean()) if len(x) > 1 else 0.0
+        )
+        # Video: same sampling plan + uint8 -> float64 mean as
+        # VideoFrameSampleStage over the raw clip.
+        idx = frame_sample_indices(len(clip), every)
+        cols["n_frames"].append(len(clip))
+        cols["fps"].append(fps)
+        cols["n_sampled"].append(len(idx))
+        vmean = np.round(clip[idx].mean(axis=(0, 1, 2)).astype(np.float64), 4)
+        for j, c in enumerate(("vid_mean_r", "vid_mean_g", "vid_mean_b")):
+            cols[c].append(vmean[j])
+    out = {
+        "media_id": pa.array(cols["media_id"], type=pa.int64()),
+    }
+    for c in ("mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b",
+              "vid_mean_r", "vid_mean_g", "vid_mean_b"):
+        out[c] = pa.array(cols[c], type=pa.float64())
+    for c in ("duration_s", "rms", "zcr"):
+        # The query rounds these with pyarrow's kernel — use the identical
+        # kernel here so ties round the same way.
+        out[c] = pc.round(pa.array(cols[c], type=pa.float64()), ndigits=4)
+    for c in ("n_frames", "fps", "n_sampled"):
+        out[c] = pa.array(cols[c], type=pa.int64())
+    return pa.table(out)
