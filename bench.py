@@ -99,6 +99,7 @@ def run_bench() -> dict:
             res.count()  # consume the lazy Dataset
         timings[name] = round(time.monotonic() - t0, 3)
 
+    spilled_mb = _spilled_mb()
     ray.shutdown()
     return {
         "metric": "kg_pipeline",
@@ -112,7 +113,34 @@ def run_bench() -> dict:
         "headline_runs": runs,
         "headline_metric": "steady_state (run 2 of 2; run 1 = cold start)",
         "turns_per_sec": round(n_turns / headline, 1),
+        "object_store_spilled_mb": spilled_mb,
     }
+
+
+def _spilled_mb():
+    """Object-store spill during this session, MiB (None if unreadable) —
+    scaling runs record it so a level pair bottlenecked on spill I/O rather
+    than compute is visible in the artifact. Parsed from the session's
+    raylet log ("Spilled N MiB" lines are cumulative; take the max) — the
+    grpc-backed memory_summary API is unavailable in this container."""
+    try:
+        import re
+
+        import ray
+
+        node = ray._private.worker._global_node
+        path = os.path.join(node.get_session_dir_path(), "logs", "raylet.out")
+        spilled = 0
+        if os.path.exists(path):
+            pat = re.compile(r"Spilled (\d+) MiB")
+            with open(path, errors="ignore") as f:
+                for line in f:
+                    m = pat.search(line)
+                    if m:
+                        spilled = max(spilled, int(m.group(1)))
+        return spilled
+    except Exception:
+        return None
 
 
 def run_single_stream() -> dict:
@@ -201,40 +229,74 @@ def main():
         # turns, 32x the sf0.1 table): single-node fixed costs (actor-pool
         # startup, shuffle-barrier latency, driver-side canonical reduce)
         # are irrelevant at cluster scale but would otherwise mask the
-        # parallel fraction. Levels default to 2 and 8 so BOTH levels stay
-        # below this box's DRAM-bandwidth saturation point: the round-3
-        # vectorized kernel is ~2x faster per byte, which moved single-box
-        # saturation down to ~12-16 string-processing workers — a no-Ray
-        # multiprocessing control running the IDENTICAL kernel, pure
-        # compute in the timed section (scripts/scaling_control.py),
-        # scales at only 0.60 efficiency from 4 -> 16 workers, while the
-        # engine reaches 0.73-0.77 on the same span — the 4 -> 16 ceiling
-        # is the hardware, not the engine. At 2 -> 8 the control gives
-        # 0.868 and the engine 0.852-0.869: AT the hardware ceiling.
-        # Multi-node clusters don't share DRAM (each node brings its own
-        # bandwidth); both level pairs + the control are in BASELINE.md.
+        # parallel fraction. The artifact is SELF-CONTAINED (r3 VERDICT #6):
+        # every level's wall time + spill, every adjacent-pair efficiency,
+        # the no-Ray hardware control, and the level-choice rationale land
+        # in the one JSON line the driver records.
         n_turns = int(os.environ.get("BENCH_SCALING_TURNS", "1920000"))
-        lo, hi = (
-            int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "2,8").split(",")
-        )
+        levels = [
+            int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "2,8,32").split(",")
+        ]
         from spacy_llm_ray.data import ensure_dataset
 
         scaling_dir = ensure_dataset(n_turns)
-        r_lo, r_hi = run_child(lo, scaling_dir), run_child(hi, scaling_dir)
-        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        results = {n: run_child(n, scaling_dir) for n in levels}
+        pairs = []
+        for lo, hi in zip(levels, levels[1:]):
+            eff = (results[lo]["value"] / results[hi]["value"]) / (hi / lo)
+            pairs.append(
+                {"lo": lo, "hi": hi, "scaling_efficiency": round(eff, 3)}
+            )
+        lo, hi = levels[0], levels[1]
+        primary_eff = pairs[0]["scaling_efficiency"]
         print(
             json.dumps(
                 {
                     "metric": "kg_pipeline_scaling",
                     "unit": "sec",
-                    "sf": r_lo["sf"],
+                    "sf": results[lo]["sf"],
+                    "turns": results[lo].get("turns"),
+                    # Back-compat primary-pair fields:
                     "cpus_lo": lo,
                     "cpus_hi": hi,
-                    f"sec_{lo}": r_lo["value"],
-                    f"sec_{hi}": r_hi["value"],
-                    f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
-                    f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
-                    "scaling_efficiency": round(eff, 3),
+                    f"sec_{lo}": results[lo]["value"],
+                    f"sec_{hi}": results[hi]["value"],
+                    f"turns_per_sec_{lo}": results[lo]["turns_per_sec"],
+                    f"turns_per_sec_{hi}": results[hi]["turns_per_sec"],
+                    "scaling_efficiency": primary_eff,
+                    # Full artifact:
+                    "levels": {
+                        str(n): {
+                            "sec": results[n]["value"],
+                            "turns_per_sec": results[n]["turns_per_sec"],
+                            "object_store_spilled_mb": results[n].get(
+                                "object_store_spilled_mb"
+                            ),
+                        }
+                        for n in levels
+                    },
+                    "pairs": pairs,
+                    "primary_pair": f"{lo}->{hi}",
+                    "hardware_control": {
+                        "source": "scripts/scaling_control.py — no-Ray "
+                        "multiprocessing running the identical fused kernel, "
+                        "pure compute in the timed section",
+                        "recorded_efficiency": {"2->8": 0.868, "4->16": 0.601},
+                        "note": "re-run live with scripts/scaling_control.py "
+                        "to refresh; values recorded on this box at 1.92M "
+                        "turns (BENCH_SCALING_r03.json)",
+                    },
+                    "level_choice": (
+                        "2->8 is the primary pair because both levels sit "
+                        "below this single box's DRAM-bandwidth saturation "
+                        "(~12-16 string-processing workers with the "
+                        "vectorized kernel): the no-Ray control tops out at "
+                        "0.868 (2->8) and 0.601 (4->16), so higher pairs "
+                        "measure the box, not the engine. The 8->32 pair is "
+                        "reported anyway, with the control as the hardware "
+                        "ceiling. Multi-node clusters do not share DRAM — "
+                        "each node brings its own bandwidth."
+                    ),
                 }
             )
         )
