@@ -82,6 +82,7 @@ def run_bench() -> dict:
         "events_sessions",
         "events_last_order_asof",
         "docs_minhash_dedup",
+        "docs_ngram_jaccard",
         "docs_curation",
         "docs_dup_spans",
         "docs_simhash",

@@ -1056,6 +1056,69 @@ FROM documents d LEFT JOIN group_map g USING (doc_id)
 """.format(perms=_minhash_perm_values())
 
 
+def q_docs_ngram_jaccard(sf_dir: str):
+    """Standalone n-gram-Jaccard near-dup pairs (the non-probabilistic
+    member of the dedup family): inverted shingle index with a global
+    document-frequency cap for candidates, exact distributed Jaccard
+    verify. Unlike MinHash-LSH, candidate recall is exact for every pair
+    sharing at least one non-hot shingle — no banding probability."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_mod.ngram_jaccard_pairs(ds, threshold=0.5, df_cap=64)
+
+
+# Independent SQL recomputation of the inverted-index n-gram Jaccard
+# near-dup: word 3-gram shingle sets per doc (the shared \w+ lowercase
+# definition; no-word docs have no shingle set and are excluded on both
+# sides), global per-shingle document frequency, candidates = doc pairs
+# sharing >= 3 shingles with df <= 64 (the engine's df_cap / min_shared
+# scale guards, replicated), jaccard = |A&B| / |A|+|B|-|A&B| as a raw
+# DOUBLE quotient of integer counts (bit-identical to the engine's Python
+# division — intentionally unrounded).
+SQL_DOCS_NGRAM_JACCARD = """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '\\w+'), w -> w != '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      ELSE list_transform(range(1, len(ws) - 1),
+                          i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+      END) AS shingle
+  FROM words
+  WHERE len(ws) > 0
+),
+df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+rare AS (
+  SELECT s.doc_id, s.shingle
+  FROM sh s JOIN df USING (shingle)
+  WHERE df.df <= 64
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM rare x JOIN rare y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+  HAVING count(*) >= 3
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
+  GROUP BY c.a, c.b
+)
+SELECT c.a, c.b,
+       CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jaccard
+FROM cand c
+JOIN counts na ON na.doc_id = c.a
+JOIN counts nb ON nb.doc_id = c.b
+JOIN inter i ON i.a = c.a AND i.b = c.b
+WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5
+"""
+
+
 def q_docs_bpe_tokens(sf_dir: str):
     """BPE-ish token counting (GPT-2-style pre-tokenizer splits) alongside
     the whitespace estimator."""
@@ -1694,6 +1757,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "docs_curation": (q_docs_curation, SQL_DOCS_CURATION),
     "docs_rolling_fp": (q_docs_rolling_fp, SQL_DOCS_ROLLING_FP),
     "docs_minhash_dedup": (q_docs_minhash_dedup, SQL_DOCS_MINHASH_DEDUP),
+    "docs_ngram_jaccard": (q_docs_ngram_jaccard, SQL_DOCS_NGRAM_JACCARD),
     "docs_simhash": (q_docs_simhash, SQL_DOCS_SIMHASH),
     "docs_dup_spans": (q_docs_dup_spans, SQL_DOCS_DUP_SPANS),
     "docs_bpe_tokens": (q_docs_bpe_tokens, SQL_DOCS_BPE_TOKENS),

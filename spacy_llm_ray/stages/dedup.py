@@ -208,6 +208,264 @@ def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
                          "b": pd.Series(out_b, dtype="int64")})
 
 
+def _distributed_jaccard_verify(
+    pairs_ds,
+    docs_ds,
+    *,
+    shingle_n: int,
+    threshold: float,
+    id_col: str,
+    text_col: str,
+    n_join: int,
+    with_value: bool = False,
+    min_count: int = 1,
+):
+    """Candidate ``(a, b)`` pair Dataset -> pairs whose EXACT n-gram Jaccard
+    is >= ``threshold``, fully distributed (shared by the MinHash-LSH and
+    inverted-index near-dup operators).
+
+    Shape: pairs are coerced to a pinned (a, b) schema (map_groups emits
+    schema-less empty blocks that break hash joins), each pair explodes to
+    two (a, b, key) rows, the texts attach via ONE hash join against the
+    pruned (id, text) projection, a bucketed groupby co-locates the pair's
+    two text rows, and the exact Jaccard runs in-group — no candidate text
+    ever reaches the driver. Cross-partition duplicate candidates are
+    idempotently re-verified and deduped by the in-group drop_duplicates.
+    Output: (a, b) rows, plus a ``jaccard`` float64 column (the raw double
+    quotient |A intersect B| / |A union B| with integer set sizes —
+    unrounded, so an oracle recomputing the same
+    integer division bit-matches) when ``with_value``."""
+    _pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def _coerce_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return _pair_schema.empty_table()
+        return batch.select(["a", "b"]).cast(_pair_schema)
+
+    # GLOBAL distinct on (a, b) while the rows are still narrow (16 bytes):
+    # candidate generators emit the same pair once per colliding band /
+    # shared shingle — dozens to hundreds of instances per true pair — and
+    # every surviving instance would drag two full document texts through
+    # the verify join below (measured 20x wall on the inverted-index path).
+    # One bucketed shuffle over pair rows; in-bucket pandas group-size
+    # count, so ``min_count`` (pairs must arrive >= this many times — the
+    # inverted index's shared-rare-shingle prefilter) and the distinct are
+    # the same pass. pb = f(a, b), so one pair's instances all land in one
+    # bucket and in-bucket counts are global counts.
+    def _add_pb(batch: pa.Table) -> pa.Table:
+        x = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        y = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = (((x * np.uint64(0x9E3779B1)) ^ y) % np.uint64(64)).astype(np.int32)
+        return batch.append_column("pb", pa.array(pb, type=pa.int32()))
+
+    def _dedup_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        if min_count > 1:
+            sizes = part.groupby(["a", "b"], sort=False).size()
+            keep = sizes[sizes >= min_count].reset_index()[["a", "b"]]
+            return keep.astype({"a": "int64", "b": "int64"})
+        return part.drop_duplicates(subset=["a", "b"])[["a", "b"]]
+
+    # Leading repartition: rebuilds blocks so schema-less empties from the
+    # candidate generator's map_groups don't bypass the coercion UDF.
+    pairs_distinct = pairs_ds.repartition(n_join).map_batches(
+        _coerce_pairs, batch_format="pyarrow"
+    ).map_batches(_add_pb, batch_format="pyarrow").groupby("pb").map_groups(
+        pandas_udf(_dedup_bucket), batch_format="pandas"
+    )
+
+    # The repartition is over pair rows only; it also rebuilds blocks so
+    # schema-less empties from map_groups never reach the join (which
+    # rejects blocks missing the key columns). Materialized: candidate
+    # pairs are dup-count-scale (tiny vs the corpus, object-store resident,
+    # spillable), and a ZERO-candidate corpus must short-circuit — with no
+    # rows at all, every block is schema-less, bypasses the coercion UDF
+    # (empty blocks skip map_batches), and crashes the text join.
+    pairs_clean = pairs_distinct.repartition(n_join).map_batches(
+        _coerce_pairs, batch_format="pyarrow"
+    ).materialize()
+    if pairs_clean.count() == 0:
+        import ray.data as _rd
+
+        out_fields = [("a", pa.int64()), ("b", pa.int64())]
+        if with_value:
+            out_fields.append(("jaccard", pa.float64()))
+        return _rd.from_arrow(pa.schema(out_fields).empty_table())
+
+    def explode_keys(batch: pa.Table) -> pa.Table:
+        a, b = batch["a"], batch["b"]
+        return pa.table(
+            {
+                "a": pa.concat_arrays([a.combine_chunks(), a.combine_chunks()]),
+                "b": pa.concat_arrays([b.combine_chunks(), b.combine_chunks()]),
+                "key": pa.concat_arrays(
+                    [a.combine_chunks(), b.combine_chunks()]
+                ),
+            }
+        )
+
+    texts_ds = docs_ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+    )
+    joined = pairs_clean.map_batches(
+        explode_keys, batch_format="pyarrow"
+    ).join(
+        texts_ds, join_type="inner", num_partitions=n_join,
+        on=("key",), right_on=(id_col,),
+    )
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        x = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        y = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (((x * np.uint64(0x9E3779B1)) ^ y) % np.uint64(64)).astype(np.int32)
+        return batch.append_column("pbucket", pa.array(bucket, type=pa.int32()))
+
+    def verify_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        part = part.drop_duplicates(subset=["a", "b", "key"])
+        for (a, b), sub in part.groupby(["a", "b"], sort=False):
+            if len(sub) != 2:
+                continue  # missing doc (filtered upstream) -> unverifiable
+            by_key = dict(zip(sub["key"], sub[text_col]))
+            j = ngram_jaccard(by_key[a], by_key[b], shingle_n)
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        cols = {"a": pd.Series(out_a, dtype="int64"),
+                "b": pd.Series(out_b, dtype="int64")}
+        if with_value:
+            cols["jaccard"] = pd.Series(out_j, dtype="float64")
+        return pd.DataFrame(cols)
+
+    return joined.map_batches(
+        add_pair_bucket, batch_format="pyarrow"
+    ).groupby("pbucket").map_groups(pandas_udf(verify_bucket), batch_format="pandas")
+
+
+class ShingleHashStage:
+    """(id, text) -> exploded DISTINCT ``(sh, doc_id)`` shingle-hash rows
+    for the inverted-index near-dup operator. Vectorized: md5-per-unique-
+    word cache (cross-batch, stateful) + polynomial window hashes — the
+    same arithmetic the MinHash signatures use. No-word docs emit nothing
+    (they have no shingle set; the SQL oracle excludes them identically)."""
+
+    def __init__(self, shingle_n: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self._n = shingle_n
+        self._id = id_col
+        self._text = text_col
+        self._hasher = _WordHasher()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh_out: List[np.ndarray] = []
+        ids_out: List[np.ndarray] = []
+        ids = batch[self._id].to_numpy(zero_copy_only=False)
+        for i, t in enumerate(batch[self._text].to_pylist()):
+            words = _WORD_RE.findall(t.lower())
+            if not words:
+                continue
+            hv = np.unique(_window_poly_hashes(self._hasher(words), self._n))
+            sh_out.append(hv)
+            ids_out.append(np.full(len(hv), ids[i], dtype=np.int64))
+        if not sh_out:
+            return pa.table({"sh": pa.array([], type=pa.int64()),
+                             self._id: pa.array([], type=pa.int64())})
+        return pa.table({
+            # bit-reinterpret uint64 -> int64: injective, Arrow-storable
+            "sh": pa.array(np.concatenate(sh_out).view(np.int64)),
+            self._id: pa.array(np.concatenate(ids_out)),
+        })
+
+
+def ngram_jaccard_pairs(
+    docs_ds,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    df_cap: int = 64,
+    min_shared: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+):
+    """Exact n-gram-Jaccard near-dup pairs via an inverted shingle index
+    (SURVEY §2.7 / training-data dedup family): Dataset of ``(a, b,
+    jaccard)`` with a < b and jaccard >= ``threshold``.
+
+    Candidate generation: explode each doc's distinct shingle hashes ->
+    groupby(shingle) -> every pair of docs sharing at least ``min_shared``
+    shingles whose GLOBAL document frequency is <= ``df_cap``. The two
+    knobs are the scale guards: the df cap stops a stop-shingle shared by
+    10^6 docs from exploding into 10^12 candidate pairs, and the
+    shared-count prefilter (applied in the verifier's bucketed count pass,
+    while pair rows are still 16 bytes) kills the long tail of pairs
+    sharing only one or two incidental shingles before any document text
+    moves — measured at sf0.1: 1.13M distinct 1-shingle pairs vs 10.3k
+    at ``min_shared=3``, for 256 true pairs. Both knobs are part of the
+    candidate SEMANTICS (the SQL oracle replicates them exactly); recall
+    loss applies only to pairs whose overlap is hot-only or below
+    ``min_shared`` rare shingles — vanishing for threshold-level (>= 0.5)
+    overlap, except docs with fewer than ``min_shared`` shingles total
+    (one- or two-shingle docs; lower ``min_shared`` if those matter). The
+    partition groupby keys on hash(sh) % n_parts, so a shingle's rows all
+    land in one partition and in-partition group sizes ARE global document
+    frequencies.
+
+    Verify: the shared distributed exact-Jaccard verifier — candidates are
+    approximate only in RECALL; every emitted pair carries the exact
+    Jaccard of the full shingle sets, so the SQL oracle (same candidate
+    rule, same division) matches value-for-value."""
+    from .dispatch import stage_map_batches
+
+    sh_rows = stage_map_batches(
+        docs_ds,
+        ShingleHashStage,
+        dict(shingle_n=shingle_n, id_col=id_col, text_col=text_col),
+        concurrency=(1, 4),
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        sh = batch["sh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((sh * np.uint64(0x9E3779B1)) % np.uint64(n_parts)).astype(
+            np.int32
+        )
+        return batch.append_column("part", pa.array(part, type=pa.int32()))
+
+    def index_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # One instance per (shared rare shingle, pair) — NO dedup here: the
+        # verifier's bucketed count pass turns instance counts into the
+        # shared-rare-shingle counts the ``min_shared`` prefilter needs
+        # (each shingle lives in exactly one partition, so counts are
+        # global).
+        out_a: List[np.ndarray] = []
+        out_b: List[np.ndarray] = []
+        for _, sub in group.groupby("sh", sort=False):
+            ids = np.unique(sub[id_col].to_numpy())
+            if len(ids) < 2 or len(ids) > df_cap:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    pairs_ds = sh_rows.map_batches(add_part, batch_format="pyarrow").groupby(
+        "part"
+    ).map_groups(pandas_udf(index_pairs), batch_format="pandas")
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_join = max(2, min(cpus // 8, 16))
+    return _distributed_jaccard_verify(
+        pairs_ds, docs_ds, shingle_n=shingle_n, threshold=threshold,
+        id_col=id_col, text_col=text_col, n_join=n_join, with_value=True,
+        min_count=min_shared,
+    )
+
+
 def minhash_lsh_dedup(
     docs_ds,
     threshold: float = 0.8,
@@ -251,77 +509,14 @@ def minhash_lsh_dedup(
         "part"
     ).map_groups(pandas_udf(_bucket_pairs), batch_format="pandas")
 
-    # Global distinct on (a, b): the same pair surfaces once per colliding
-    # band. Dedup inside per-'a' groups — one shuffle bounded by the
-    # candidate-pair count, never the corpus. The trailing coercion pins the
-    # (a, b) schema on the empty blocks map_groups emits for empty
-    # partitions (they otherwise break the downstream hash join).
-    _pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-
-    def _coerce_pairs(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "a" not in batch.column_names:
-            return _pair_schema.empty_table()
-        return batch.select(["a", "b"]).cast(_pair_schema)
-
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     n_join = max(2, min(cpus // 8, 16))
-
-    # Distributed verify, one corpus shuffle total: explode each candidate
-    # pair to two (a, b, key) rows, hash-join texts on key, co-locate the
-    # pair's two text rows with a bucket groupby, exact Jaccard in-group.
-    # Only VERIFIED pairs reach the driver. (The repartition is over pair
-    # rows only; it also rebuilds blocks so schema-less empties from
-    # map_groups never reach the join, which rejects blocks missing keys.)
-    pairs_clean = pairs_ds.repartition(n_join).map_batches(
-        _coerce_pairs, batch_format="pyarrow"
+    verified_ds = _distributed_jaccard_verify(
+        pairs_ds, docs_ds, shingle_n=shingle_n, threshold=threshold,
+        id_col=id_col, text_col=text_col, n_join=n_join,
     )
-
-    def explode_keys(batch: pa.Table) -> pa.Table:
-        a, b = batch["a"], batch["b"]
-        return pa.table(
-            {
-                "a": pa.concat_arrays([a.combine_chunks(), a.combine_chunks()]),
-                "b": pa.concat_arrays([b.combine_chunks(), b.combine_chunks()]),
-                "key": pa.concat_arrays(
-                    [a.combine_chunks(), b.combine_chunks()]
-                ),
-            }
-        )
-
-    texts_ds = docs_ds.map_batches(
-        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
-    )
-    joined = pairs_clean.map_batches(
-        explode_keys, batch_format="pyarrow"
-    ).join(
-        texts_ds, join_type="inner", num_partitions=n_join,
-        on=("key",), right_on=(id_col,),
-    )
-
-    def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        x = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        y = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bucket = (((x * np.uint64(0x9E3779B1)) ^ y) % np.uint64(64)).astype(np.int32)
-        return batch.append_column("pbucket", pa.array(bucket, type=pa.int32()))
-
-    def verify_bucket(part: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        part = part.drop_duplicates(subset=["a", "b", "key"])
-        for (a, b), sub in part.groupby(["a", "b"], sort=False):
-            if len(sub) != 2:
-                continue  # missing doc (filtered upstream) -> unverifiable
-            by_key = dict(zip(sub["key"], sub[text_col]))
-            if ngram_jaccard(by_key[a], by_key[b], shingle_n) >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64")})
-
-    verified_ds = joined.map_batches(
-        add_pair_bucket, batch_format="pyarrow"
-    ).groupby("pbucket").map_groups(pandas_udf(verify_bucket), batch_format="pandas")
     verified_set: Set[Tuple] = set()
     for b in verified_ds.iter_batches(batch_format="pandas"):
         verified_set.update(zip(b["a"].tolist(), b["b"].tolist()))

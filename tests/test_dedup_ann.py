@@ -83,6 +83,65 @@ def test_minhash_lsh_dedup_groups(docs_with_dups):
     assert groups[3] == 3 and groups[4] == 4
 
 
+def test_ngram_jaccard_pairs_exact_values(docs_with_dups):
+    from spacy_llm_ray.stages.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(docs_with_dups, threshold=0.5).to_pandas()
+    pairs = {(a, b): j for a, b, j in zip(out["a"], out["b"], out["jaccard"])}
+    # Exact dup + near dup among docs 0/1/2; 3 and 4 are unrelated.
+    assert set(pairs) == {(0, 1), (0, 2), (1, 2)}
+    assert pairs[(0, 1)] == 1.0
+    base = docs_with_dups.take_all()
+    texts = {r["doc_id"]: r["text"] for r in base}
+    # Emitted value IS the exact shingle-set Jaccard (the oracle contract).
+    assert pairs[(0, 2)] == ngram_jaccard(texts[0], texts[2], 3)
+    assert pairs[(1, 2)] == pairs[(0, 2)]
+
+
+def test_ngram_jaccard_df_cap_drops_hot_shingle_candidates(ray_session):
+    import ray.data
+
+    from spacy_llm_ray.stages.dedup import ngram_jaccard_pairs
+
+    # Every doc shares ONE hot shingle ("common shared phrase") and nothing
+    # else: with df_cap below the corpus size, no candidates survive.
+    rows = [
+        {"doc_id": i, "text": f"common shared phrase unique{i} word{i} tail{i}"}
+        for i in range(8)
+    ]
+    ds = ray.data.from_items(rows)
+    capped = ngram_jaccard_pairs(
+        ds, threshold=0.01, df_cap=4, min_shared=1
+    ).to_pandas()
+    assert len(capped) == 0
+    # With the cap above df, the hot shingle DOES generate candidates, and
+    # the verifier emits the exact (low) Jaccard values for all 28 pairs.
+    uncapped = ngram_jaccard_pairs(
+        ds, threshold=0.01, df_cap=64, min_shared=1
+    ).to_pandas()
+    assert len(uncapped) == 28
+    assert (uncapped["jaccard"] < 0.5).all()
+    # The min_shared prefilter drops 1-shared-shingle pairs before verify.
+    filtered = ngram_jaccard_pairs(
+        ds, threshold=0.01, df_cap=64, min_shared=2
+    ).to_pandas()
+    assert len(filtered) == 0
+
+
+def test_ngram_jaccard_ignores_empty_docs(ray_session):
+    import ray.data
+
+    from spacy_llm_ray.stages.dedup import ngram_jaccard_pairs
+
+    rows = [
+        {"doc_id": 0, "text": ""},
+        {"doc_id": 1, "text": "   "},
+        {"doc_id": 2, "text": "real words in this one document here today"},
+    ]
+    out = ngram_jaccard_pairs(ray.data.from_items(rows), threshold=0.1).to_pandas()
+    assert len(out) == 0  # empty docs have no shingle set -> never paired
+
+
 def test_brute_force_and_ivf_topk(ray_session):
     import ray.data
 
