@@ -238,6 +238,12 @@ def main():
         levels = [
             int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "2,8,32").split(",")
         ]
+        if len(levels) < 2:
+            raise SystemExit(
+                "BENCH_SCALING_CPUS needs at least two comma-separated "
+                f"levels to form a scaling pair (got {levels!r}); failing "
+                "fast BEFORE the minutes-long child runs."
+            )
         from spacy_llm_ray.data import ensure_dataset
 
         scaling_dir = ensure_dataset(n_turns)
@@ -283,9 +289,18 @@ def main():
                         "multiprocessing running the identical fused kernel, "
                         "pure compute in the timed section",
                         "recorded_efficiency": {"2->8": 0.868, "4->16": 0.601},
-                        "note": "re-run live with scripts/scaling_control.py "
-                        "to refresh; values recorded on this box at 1.92M "
-                        "turns (BENCH_SCALING_r03.json)",
+                        # These are RECORDED constants, not measured by this
+                        # run — self-describing staleness so the artifact
+                        # can't pass them off as live on other hardware:
+                        "recorded_at": {
+                            "round": 3,
+                            "turns": 1920000,
+                            "artifact": "BENCH_SCALING_r03.json",
+                        },
+                        "stale_if": "different hardware or "
+                        "BENCH_SCALING_TURNS != 1920000; re-run "
+                        "scripts/scaling_control.py to refresh",
+                        "is_live_measurement": False,
                     },
                     "level_choice": (
                         "2->8 is the primary pair because both levels sit "

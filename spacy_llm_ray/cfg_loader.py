@@ -116,15 +116,16 @@ def load_cfg(source: Union[str, Path], overrides: Optional[Dict[str, Any]] = Non
         text = Path(source).read_text()
     elif (
         "\n" not in str(source)
-        and "[" not in str(source)
+        and not str(source).lstrip().startswith("[")
         and (str(source).endswith(".cfg") or os.sep in str(source))
     ):
         # Single-line string that LOOKS like a path but doesn't exist: a
         # clear FileNotFoundError beats configparser's MissingSectionHeader
-        # from parsing the path string as cfg text. A string containing a
-        # '[' section header can never be a path worth reporting — it is
-        # raw cfg text (possibly one line whose VALUE contains a '/', e.g.
-        # a paths entry) and must route to the parser, not the filesystem.
+        # from parsing the path string as cfg text. A string OPENING with a
+        # '[' section header is raw cfg text (possibly one line whose value
+        # contains a '/', e.g. a paths entry) and must route to the parser
+        # — but a '[' elsewhere (a path like 'configs/[dev]/x.cfg') is
+        # still a missing path worth reporting by name.
         raise FileNotFoundError(f"config file not found: {source}")
     else:
         text = str(source)

@@ -281,13 +281,18 @@ def kg_raw_triples_dataset(
 # slower) distributed path.
 DRIVER_CANON_MAX_PAIRS = 5_000_000
 
-# Last routing decision (inspection + lineage): set by kg_triples_dataset.
+# LAST routing decision, for interactive inspection only. Concurrent
+# pipelines on one driver overwrite each other here — anything durable
+# (checkpoint lineage) must use the decision dict _route_canon RETURNS,
+# never this global.
 CANON_ROUTE: Dict = {}
 
 
-def _route_canon(distributed_canon: Optional[bool], dedup) -> bool:
-    """Resolve the canonicalization route; records the decision in
-    CANON_ROUTE (and callers persist it into checkpoint lineage)."""
+def _route_canon(distributed_canon: Optional[bool], dedup) -> Dict:
+    """Resolve the canonicalization route; returns the decision record
+    (``route`` is 'distributed' or 'driver') for callers to branch on and
+    persist into checkpoint lineage. Also mirrored into CANON_ROUTE for
+    inspection."""
     decision = {
         "threshold_pairs": DRIVER_CANON_MAX_PAIRS,
         "est_pairs": None,
@@ -302,7 +307,7 @@ def _route_canon(distributed_canon: Optional[bool], dedup) -> bool:
     decision["route"] = "distributed" if distributed_canon else "driver"
     CANON_ROUTE.clear()
     CANON_ROUTE.update(decision)
-    return distributed_canon
+    return decision
 
 
 def kg_triples_dataset(
@@ -353,7 +358,7 @@ def kg_triples_dataset(
     # distinct-first shrinks every later pass. The distinct set is materialized
     # once; the mapping pass and the apply pass both read it.
     dedup = distinct_triples(raw_triples).materialize()
-    if _route_canon(distributed_canon, dedup):
+    if _route_canon(distributed_canon, dedup)["route"] == "distributed":
         from ..stages.canonicalize import (
             build_canonical_mapping_dataset,
             canonicalize_triples_joined,

@@ -422,9 +422,22 @@ def q_q3_top_orders(sf_dir: str):
         .groupby("l_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
     )
-    top = agg.sort("revenue", descending=True).limit(10)
+    # Round BEFORE the top-k sort and break ties on the key, mirroring the
+    # oracle's ORDER BY round(...) DESC, o_orderkey — sorting the unrounded
+    # float would pick a different (and nondeterministic) top-10 membership
+    # whenever two orders at the rank boundary round to the same cent.
+    def round_rev(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("revenue"), "revenue",
+            pc.round(batch["revenue"], ndigits=2),
+        )
+
+    top = (
+        agg.map_batches(round_rev, batch_format="pyarrow")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
     df = top.to_pandas()
-    df["revenue"] = df["revenue"].round(2)
     return df.rename(columns={"l_orderkey": "o_orderkey"})[["o_orderkey", "revenue"]]
 
 
@@ -1362,12 +1375,20 @@ _MEDIA_GOLD_PATH = os.path.join(tdata.DEFAULT_DATA_DIR, "media_gold_v1.parquet")
 
 def _ensure_media_gold() -> str:
     if not os.path.exists(_MEDIA_GOLD_PATH):
+        import uuid
+
         import pyarrow.parquet as pq
 
         from ..stages import multimodal as mm
 
         os.makedirs(tdata.DEFAULT_DATA_DIR, exist_ok=True)
-        tmp = _MEDIA_GOLD_PATH + ".tmp"
+        # Per-process tmp name: concurrent first-time writers (every worker
+        # process imports this module) each write their own tmp and the
+        # atomic replace races are benign — the content is deterministic,
+        # so whichever rename wins installs identical bytes. A shared tmp
+        # path would interleave two writers' truncate/write and could
+        # install a corrupt file.
+        tmp = f"{_MEDIA_GOLD_PATH}.{uuid.uuid4().hex[:12]}.tmp"
         pq.write_table(mm.media_features_gold(n=_MEDIA_N), tmp)
         os.replace(tmp, _MEDIA_GOLD_PATH)
     return _MEDIA_GOLD_PATH
@@ -1426,8 +1447,14 @@ def q_media_features(sf_dir: str):
     return out.map_batches(flatten_features, batch_format="pyarrow")
 
 
-_ensure_media_gold()  # import-time, like the transcripts table: the oracle
-# SQL below must find the gold parquet whenever the driver runs it.
+# Import-time, like the transcripts table: the oracle SQL below must find
+# the gold parquet whenever the driver runs it. Never let this break module
+# import for pipelines that don't touch media (e.g. an unwritable data dir
+# on a worker node) — q_media_features re-ensures at call time anyway.
+try:
+    _ensure_media_gold()
+except OSError:  # pragma: no cover - unwritable/odd filesystem only
+    pass
 
 SQL_MEDIA_FEATURES = f"""
 SELECT media_id, mean_r, mean_g, mean_b, std_r, std_g, std_b,

@@ -208,6 +208,18 @@ def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
                          "b": pd.Series(out_b, dtype="int64")})
 
 
+def _pair_bucket_column(
+    batch: pa.Table, xcol: str, ycol: str, out: str, n_buckets: int = 64
+) -> pa.Table:
+    """Append a bucket column hashed from two int columns — the one shuffle
+    key used by the candidate distinct pass, the verify groupby, and the
+    minhash band partitioner, so all three stay on the same bucketing."""
+    x = batch[xcol].to_numpy(zero_copy_only=False).astype(np.uint64)
+    y = batch[ycol].to_numpy(zero_copy_only=False).astype(np.uint64)
+    b = (((x * np.uint64(0x9E3779B1)) ^ y) % np.uint64(n_buckets)).astype(np.int32)
+    return batch.append_column(out, pa.array(b, type=pa.int32()))
+
+
 def _distributed_jaccard_verify(
     pairs_ds,
     docs_ds,
@@ -253,10 +265,7 @@ def _distributed_jaccard_verify(
     # the same pass. pb = f(a, b), so one pair's instances all land in one
     # bucket and in-bucket counts are global counts.
     def _add_pb(batch: pa.Table) -> pa.Table:
-        x = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        y = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pb = (((x * np.uint64(0x9E3779B1)) ^ y) % np.uint64(64)).astype(np.int32)
-        return batch.append_column("pb", pa.array(pb, type=pa.int32()))
+        return _pair_bucket_column(batch, "a", "b", "pb")
 
     def _dedup_bucket(part: pd.DataFrame) -> pd.DataFrame:
         if min_count > 1:
@@ -314,10 +323,7 @@ def _distributed_jaccard_verify(
     )
 
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        x = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        y = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bucket = (((x * np.uint64(0x9E3779B1)) ^ y) % np.uint64(64)).astype(np.int32)
-        return batch.append_column("pbucket", pa.array(bucket, type=pa.int32()))
+        return _pair_bucket_column(batch, "a", "b", "pbucket")
 
     def verify_bucket(part: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_j = [], [], []
@@ -500,10 +506,9 @@ def minhash_lsh_dedup(
     n_parts = 64
 
     def add_part(batch: pa.Table) -> pa.Table:
-        bi = batch["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = (((bi * np.uint64(0x9E3779B1)) ^ bh) % np.uint64(n_parts)).astype(np.int32)
-        return batch.append_column("part", pa.array(part, type=pa.int32()))
+        return _pair_bucket_column(
+            batch, "band_id", "band_hash", "part", n_buckets=n_parts
+        )
 
     pairs_ds = band_rows.map_batches(add_part, batch_format="pyarrow").groupby(
         "part"

@@ -249,7 +249,11 @@ class ImageFeatureStage:
         self._size = size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        arr = np.array(batch[self._pixels_col].to_pylist(), dtype=np.float64)
+        from .arrow_utils import list_column_matrix
+
+        # Flat-buffer reshape of the FixedSizeList pixel column (r3 VERDICT
+        # #4 convention) — no per-pixel to_pylist Python hop.
+        arr = list_column_matrix(batch[self._pixels_col], dtype=np.float64)
         if arr.size:
             arr = arr.reshape(len(arr), self._size, self._size, 3)
             # Integer-exact accumulation: pixels are uint8, so float64 sum

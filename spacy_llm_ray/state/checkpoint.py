@@ -455,7 +455,8 @@ def run_partitioned_kg(
     # pair-estimate bound the driver union-find would exceed driver memory,
     # so flip to the distributed CC + hash-join apply. Decision recorded in
     # the _SUCCESS lineage record below.
-    if kg._route_canon(None, dedup):
+    canon_decision = kg._route_canon(None, dedup)
+    if canon_decision["route"] == "distributed":
         from ..stages.canonicalize import (
             build_canonical_mapping_dataset,
             canonicalize_triples_joined,
@@ -480,7 +481,9 @@ def run_partitioned_kg(
                 "n_partitions": n_partitions,
                 "completed_now": completed,
                 "skipped_resume": skipped,
-                "canon_route": dict(kg.CANON_ROUTE),
+                # The RETURNED decision, not the inspection global — the
+                # global is last-writer-wins under concurrent pipelines.
+                "canon_route": dict(canon_decision),
             },
             f,
         )
