@@ -254,42 +254,48 @@ def _distributed_jaccard_verify(
             return _pair_schema.empty_table()
         return batch.select(["a", "b"]).cast(_pair_schema)
 
-    # GLOBAL distinct on (a, b) while the rows are still narrow (16 bytes):
-    # candidate generators emit the same pair once per colliding band /
-    # shared shingle — dozens to hundreds of instances per true pair — and
-    # every surviving instance would drag two full document texts through
-    # the verify join below (measured 20x wall on the inverted-index path).
-    # One bucketed shuffle over pair rows; in-bucket pandas group-size
-    # count, so ``min_count`` (pairs must arrive >= this many times — the
-    # inverted index's shared-rare-shingle prefilter) and the distinct are
-    # the same pass. pb = f(a, b), so one pair's instances all land in one
-    # bucket and in-bucket counts are global counts.
-    def _add_pb(batch: pa.Table) -> pa.Table:
-        return _pair_bucket_column(batch, "a", "b", "pb")
+    # GLOBAL distinct + instance count on (a, b) while the rows are still
+    # narrow (16 bytes) — only when ``min_count > 1`` requires counting:
+    # the inverted-index generator emits one instance per shared rare
+    # shingle (dozens to hundreds per true pair — measured 20x verify wall
+    # if they all reached the text join), and the shared-count prefilter
+    # needs global instance counts. One bucketed shuffle; pb = f(a, b), so
+    # one pair's instances all land in one bucket and in-bucket counts are
+    # global. For ``min_count == 1`` callers (MinHash) the pass is SKIPPED:
+    # band collisions bound the duplicate factor at the band count (~2-4
+    # in practice), so an extra full sort-shuffle over pair rows costs
+    # more than the few duplicate text rows it would save; the in-group
+    # drop_duplicates below keeps verification idempotent.
+    if min_count > 1:
+        def _add_pb(batch: pa.Table) -> pa.Table:
+            return _pair_bucket_column(batch, "a", "b", "pb")
 
-    def _dedup_bucket(part: pd.DataFrame) -> pd.DataFrame:
-        if min_count > 1:
+        def _count_filter_bucket(part: pd.DataFrame) -> pd.DataFrame:
             sizes = part.groupby(["a", "b"], sort=False).size()
             keep = sizes[sizes >= min_count].reset_index()[["a", "b"]]
             return keep.astype({"a": "int64", "b": "int64"})
-        return part.drop_duplicates(subset=["a", "b"])[["a", "b"]]
 
-    # Leading repartition: rebuilds blocks so schema-less empties from the
-    # candidate generator's map_groups don't bypass the coercion UDF.
-    pairs_distinct = pairs_ds.repartition(n_join).map_batches(
-        _coerce_pairs, batch_format="pyarrow"
-    ).map_batches(_add_pb, batch_format="pyarrow").groupby("pb").map_groups(
-        pandas_udf(_dedup_bucket), batch_format="pandas"
-    )
+        # Leading repartition: rebuilds blocks so schema-less empties from
+        # the candidate generator's map_groups don't bypass the coercion.
+        pairs_ds = pairs_ds.repartition(n_join).map_batches(
+            _coerce_pairs, batch_format="pyarrow"
+        ).map_batches(_add_pb, batch_format="pyarrow").groupby("pb").map_groups(
+            pandas_udf(_count_filter_bucket), batch_format="pandas"
+        )
 
     # The repartition is over pair rows only; it also rebuilds blocks so
     # schema-less empties from map_groups never reach the join (which
-    # rejects blocks missing the key columns). Materialized: candidate
-    # pairs are dup-count-scale (tiny vs the corpus, object-store resident,
-    # spillable), and a ZERO-candidate corpus must short-circuit — with no
-    # rows at all, every block is schema-less, bypasses the coercion UDF
-    # (empty blocks skip map_batches), and crashes the text join.
-    pairs_clean = pairs_distinct.repartition(n_join).map_batches(
+    # rejects blocks missing the key columns). Materialized + counted: a
+    # ZERO-candidate corpus produces ONLY schema-less empty blocks (empty
+    # blocks bypass map_batches UDFs, so no coercion can pin them) which
+    # crash the text join — the count() on the materialized narrow pairs
+    # is the one robust guard. (A schema'd sentinel row via
+    # Dataset.union() was tried instead to keep one fused plan: union
+    # breaks streaming fusion in Ray 2.49 and tripled curation wall time.)
+    # The barrier is also the scale-sane shape: candidates are
+    # dup-count-scale, object-store resident and spillable, and a 100-TB
+    # run wants them pinned before fanning out the expensive text verify.
+    pairs_clean = pairs_ds.repartition(n_join).map_batches(
         _coerce_pairs, batch_format="pyarrow"
     ).materialize()
     if pairs_clean.count() == 0:
@@ -328,11 +334,29 @@ def _distributed_jaccard_verify(
     def verify_bucket(part: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_j = [], [], []
         part = part.drop_duplicates(subset=["a", "b", "key"])
+        # Per-bucket shingle-set memo: a doc in k candidate pairs would
+        # otherwise be re-shingled k times. Same arithmetic as
+        # ngram_jaccard (including its empty-set rules), just cached.
+        sets: Dict = {}
+
+        def sset(key, text):
+            s = sets.get(key)
+            if s is None:
+                s = shingles(text, shingle_n)
+                sets[key] = s
+            return s
+
         for (a, b), sub in part.groupby(["a", "b"], sort=False):
             if len(sub) != 2:
                 continue  # missing doc (filtered upstream) -> unverifiable
             by_key = dict(zip(sub["key"], sub[text_col]))
-            j = ngram_jaccard(by_key[a], by_key[b], shingle_n)
+            sa, sb = sset(a, by_key[a]), sset(b, by_key[b])
+            if not sa and not sb:
+                j = 1.0
+            elif not sa or not sb:
+                j = 0.0
+            else:
+                j = len(sa & sb) / len(sa | sb)
             if j >= threshold:
                 out_a.append(a)
                 out_b.append(b)
