@@ -348,15 +348,28 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+#: Auto-route bound for semi-join key sides (the broadcast-join threshold
+#: every mature engine carries): below this estimated on-disk size the
+#: filtered key set is collected DISTRIBUTED-FILTERED and broadcast via
+#: ray.put (one shuffle saved, keys read once per task from the object
+#: store); above it the keys stay a Dataset and the semi-join is a
+#: hash-partitioned shuffle join (no driver/worker ever holds the key
+#: set). Both routes emit identical rows.
+BROADCAST_SEMI_MAX_BYTES = 64 << 20
+
+
 def q_q3_top_orders(sf_dir: str):
     """Shipping-priority-style query: BUILDING customers, orders before /
     lineitems after a date, revenue per order, top 10.
 
-    Fully distributed (r3 VERDICT #1b): the BUILDING key set is a filtered
-    key *Dataset* semi-joined against orders with the hash-partitioned
-    ``Dataset.join`` — no key bytes ever reach the driver (the former
-    broadcast collect was bounded by segment selectivity, still a multi-GB
-    driver array at 100x). Partition counts derive from input bytes."""
+    The BUILDING key side auto-routes on estimated size (r3 VERDICT #1b +
+    the broadcast threshold pattern used for canonicalization): small
+    dimension -> distributed filter + ``ray.put`` broadcast + vectorized
+    ``pc.is_in`` semi-filter (no shuffle); past
+    ``BROADCAST_SEMI_MAX_BYTES`` -> the key set stays a Dataset and the
+    semi-join runs as a hash-partitioned ``Dataset.join``, so a 100x
+    dimension can never pin a multi-GB driver array. Partition counts
+    derive from input bytes."""
     building = _read(
         sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
     ).map_batches(
@@ -375,20 +388,47 @@ def q_q3_top_orders(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    # Shuffle semi-join orders |>< customer(BUILDING): c_custkey is unique in
-    # customer, so the inner join emits each qualifying order exactly once.
-    n_semi = _join_partitions(
-        _table_bytes(sf_dir, "orders"), _table_bytes(sf_dir, "customer")
-    )
-    orders = orders.join(
-        building,
-        join_type="inner",
-        num_partitions=n_semi,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    ).select_columns(["o_orderkey"]).repartition(n_semi)
-    # ^ repartition: a join's empty output blocks are schema-less and crash
-    # the next hash join; rebuilding blocks drops them.
+    # Semi-join orders |>< customer(BUILDING): c_custkey is unique in
+    # customer, so each qualifying order survives exactly once either way.
+    if _table_bytes(sf_dir, "customer") <= BROADCAST_SEMI_MAX_BYTES:
+        import numpy as np
+        import ray
+
+        chunks = [
+            b["c_custkey"].to_numpy(zero_copy_only=False)
+            for b in building.iter_batches(batch_format="pyarrow")
+        ]
+        keys = (
+            np.unique(np.concatenate(chunks))
+            if chunks else np.array([], dtype=np.int64)
+        )
+        keys_ref = ray.put(keys)
+
+        class _SemiFilter:
+            def __init__(self, ref):
+                self._keys = pa.array(ray.get(ref), type=pa.int64())
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                return batch.filter(
+                    pc.is_in(batch["o_custkey"], value_set=self._keys)
+                ).select(["o_orderkey"])
+
+        orders = stage_map_batches(
+            orders, _SemiFilter, dict(ref=keys_ref), concurrency=(1, 2)
+        )
+    else:
+        n_semi = _join_partitions(
+            _table_bytes(sf_dir, "orders"), _table_bytes(sf_dir, "customer")
+        )
+        orders = orders.join(
+            building,
+            join_type="inner",
+            num_partitions=n_semi,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ).select_columns(["o_orderkey"]).repartition(n_semi)
+        # ^ repartition: a join's empty output blocks are schema-less and
+        # crash the next hash join; rebuilding blocks drops them.
 
     li = _read(
         sf_dir, "lineitem",
