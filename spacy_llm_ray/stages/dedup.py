@@ -295,16 +295,21 @@ def _distributed_jaccard_verify(
     # The barrier is also the scale-sane shape: candidates are
     # dup-count-scale, object-store resident and spillable, and a 100-TB
     # run wants them pinned before fanning out the expensive text verify.
+    out_fields = [("a", pa.int64()), ("b", pa.int64())]
+    if with_value:
+        out_fields.append(("jaccard", pa.float64()))
+    out_schema = pa.schema(out_fields)
+
+    def _typed_empty():
+        import ray.data as _rd
+
+        return _rd.from_arrow(out_schema.empty_table())
+
     pairs_clean = pairs_ds.repartition(n_join).map_batches(
         _coerce_pairs, batch_format="pyarrow"
     ).materialize()
     if pairs_clean.count() == 0:
-        import ray.data as _rd
-
-        out_fields = [("a", pa.int64()), ("b", pa.int64())]
-        if with_value:
-            out_fields.append(("jaccard", pa.float64()))
-        return _rd.from_arrow(pa.schema(out_fields).empty_table())
+        return _typed_empty()
 
     def explode_keys(batch: pa.Table) -> pa.Table:
         a, b = batch["a"], batch["b"]
@@ -367,9 +372,19 @@ def _distributed_jaccard_verify(
             cols["jaccard"] = pd.Series(out_j, dtype="float64")
         return pd.DataFrame(cols)
 
-    return joined.map_batches(
+    out = joined.map_batches(
         add_pair_bucket, batch_format="pyarrow"
-    ).groupby("pbucket").map_groups(pandas_udf(verify_bucket), batch_format="pandas")
+    ).groupby("pbucket").map_groups(
+        pandas_udf(verify_bucket), batch_format="pandas"
+    ).materialize()
+    # Candidates existed but NONE verified: the all-empty map_groups output
+    # is schema-less (column-less to consumers) — pin the typed schema so
+    # the operator's output contract holds in every case. The materialize
+    # is the final stage (consumers collect immediately); it costs no
+    # pipeline overlap.
+    if out.count() == 0:
+        return _typed_empty()
+    return out
 
 
 class ShingleHashStage:

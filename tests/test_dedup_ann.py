@@ -142,6 +142,70 @@ def test_ngram_jaccard_ignores_empty_docs(ray_session):
     assert len(out) == 0  # empty docs have no shingle set -> never paired
 
 
+def test_ngram_jaccard_pairs_match_bruteforce_reference(ray_session):
+    """Randomized conformance: the distributed operator must equal a pure-
+    Python brute-force with the same candidate semantics (df cap +
+    min_shared over string shingles) on seeded corpora."""
+    import itertools
+
+    import ray.data
+
+    from spacy_llm_ray.stages.dedup import ngram_jaccard_pairs
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    for seed in (1, 7, 42):
+        rng = np.random.RandomState(seed)
+        rows = []
+        for i in range(40):
+            n_words = rng.randint(0, 12)
+            rows.append(
+                {"doc_id": i,
+                 "text": " ".join(rng.choice(vocab, size=n_words))}
+            )
+        threshold, df_cap, min_shared = 0.3, 16, 2
+
+        # Brute-force reference over string shingles.
+        ss = {r["doc_id"]: shingles(r["text"], 3) for r in rows
+              if _WORD_RE_TEST.findall(r["text"].lower())}
+        df = {}
+        for s in ss.values():
+            for g in s:
+                df[g] = df.get(g, 0) + 1
+        expected = {}
+        for a, b in itertools.combinations(sorted(ss), 2):
+            shared_rare = sum(
+                1 for g in ss[a] & ss[b] if df[g] <= df_cap
+            )
+            if shared_rare < min_shared:
+                continue
+            j = len(ss[a] & ss[b]) / len(ss[a] | ss[b])
+            if j >= threshold:
+                expected[(a, b)] = j
+
+        out_ds = ngram_jaccard_pairs(
+            ray.data.from_items(rows), threshold=threshold, df_cap=df_cap,
+            min_shared=min_shared,
+        )
+        # Dataset-level schema is always pinned (a, b, jaccard)...
+        assert [f.name for f in out_ds.schema().base_schema] == [
+            "a", "b", "jaccard"
+        ], f"seed {seed}"
+        out = out_ds.to_pandas()
+        # ...but Ray 2.49's to_pandas drops columns on an EMPTY dataset
+        # (from_arrow(empty_table).to_pandas() loses the schema), so the
+        # empty case is compared by row count only.
+        got = (
+            {} if len(out) == 0 else
+            {(a, b): j for a, b, j in zip(out["a"], out["b"], out["jaccard"])}
+        )
+        assert got == expected, f"seed {seed}"
+
+
+import re as _re_test  # noqa: E402
+
+_WORD_RE_TEST = _re_test.compile(r"\w+", _re_test.UNICODE)
+
+
 def test_brute_force_and_ivf_topk(ray_session):
     import ray.data
 
