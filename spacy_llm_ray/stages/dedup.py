@@ -523,13 +523,16 @@ def minhash_lsh_dedup(
     """Full MinHash-LSH near-dup pipeline -> Dataset of (doc_id, dup_group)
     where dup_group is the minimum doc_id of the near-dup component.
 
-    The verify step is fully distributed (r1 VERDICT fix): candidate pairs
-    are made distinct with a per-'a' group dedup, the texts are attached via
-    two hash joins against the pruned (id, text) projection, and the exact
-    n-gram Jaccard runs inside ``map_batches`` — no candidate text ever
-    reaches the driver. Only VERIFIED pairs (bounded by the true duplicate
-    count) are collected for the connected-components step, which stays a
-    tiny driver union-find broadcast back as a lookup map.
+    The verify step is fully distributed (r1 VERDICT fix; see
+    ``_distributed_jaccard_verify``): candidates are deduped per partition
+    at generation and idempotently re-deduped in the verify groups (the
+    band count bounds the cross-partition duplicate factor, so the global
+    distinct shuffle the inverted-index operator needs is skipped here),
+    the texts are attached via ONE hash join against the pruned (id, text)
+    projection, and the exact n-gram Jaccard runs in-group — no candidate
+    text ever reaches the driver. Only VERIFIED pairs (bounded by the true
+    duplicate count) are collected for the connected-components step,
+    which stays a tiny driver union-find broadcast back as a lookup map.
     """
     from .dispatch import stage_map_batches
 
