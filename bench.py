@@ -236,7 +236,9 @@ def main():
         # in the one JSON line the driver records.
         n_turns = int(os.environ.get("BENCH_SCALING_TURNS", "1920000"))
         levels = [
-            int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "2,8,32").split(",")
+            int(x)
+            for x in os.environ.get("BENCH_SCALING_CPUS", "2,8,32").split(",")
+            if x.strip()
         ]
         if len(levels) < 2:
             raise SystemExit(

@@ -358,6 +358,21 @@ GROUP BY l_returnflag, l_linestatus
 BROADCAST_SEMI_MAX_BYTES = 64 << 20
 
 
+class _BroadcastSemiFilter:
+    """Vectorized ``pc.is_in`` semi-filter against a broadcast key array
+    (the q3 broadcast route). Module scope + plain-array kwargs so the
+    dispatch layer can content-key the config: one ``ray.put`` per
+    distinct key set, warm stage reuse across invocations."""
+
+    def __init__(self, keys):
+        self._keys = pa.array(keys, type=pa.int64())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch["o_custkey"], value_set=self._keys)
+        ).select(["o_orderkey"])
+
+
 def q_q3_top_orders(sf_dir: str):
     """Shipping-priority-style query: BUILDING customers, orders before /
     lineitems after a date, revenue per order, top 10.
@@ -391,8 +406,6 @@ def q_q3_top_orders(sf_dir: str):
     # Semi-join orders |>< customer(BUILDING): c_custkey is unique in
     # customer, so each qualifying order survives exactly once either way.
     if _table_bytes(sf_dir, "customer") <= BROADCAST_SEMI_MAX_BYTES:
-        import numpy as np
-        import ray
 
         chunks = [
             b["c_custkey"].to_numpy(zero_copy_only=False)
@@ -402,20 +415,19 @@ def q_q3_top_orders(sf_dir: str):
             np.unique(np.concatenate(chunks))
             if chunks else np.array([], dtype=np.int64)
         )
-        keys_ref = ray.put(keys)
 
-        class _SemiFilter:
-            def __init__(self, ref):
-                self._keys = pa.array(ray.get(ref), type=pa.int64())
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                return batch.filter(
-                    pc.is_in(batch["o_custkey"], value_set=self._keys)
-                ).select(["o_orderkey"])
-
+        # Keys ship as stage kwargs (a numpy array), NOT a pre-made
+        # ObjectRef: dispatch.py content-keys the kwargs and does ONE
+        # ray.put per distinct key set, so repeat invocations hit the warm
+        # stage cache instead of pinning a fresh object-store copy each
+        # time. The trailing select_columns is a plan-level projection that
+        # ALSO applies to the 0-row blocks that bypass map_batches UDFs —
+        # without it an orders block fully emptied by the date filter keeps
+        # its 3-column schema and crashes the downstream lineitem hash
+        # join on mixed schemas.
         orders = stage_map_batches(
-            orders, _SemiFilter, dict(ref=keys_ref), concurrency=(1, 2)
-        )
+            orders, _BroadcastSemiFilter, dict(keys=keys)
+        ).select_columns(["o_orderkey"])
     else:
         n_semi = _join_partitions(
             _table_bytes(sf_dir, "orders"), _table_bytes(sf_dir, "customer")

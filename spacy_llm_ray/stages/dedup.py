@@ -45,13 +45,19 @@ def shingles(text: str, n: int = 3) -> Set[str]:
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
 
 
-def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
-    sa, sb = shingles(a, n), shingles(b, n)
+def jaccard_sets(sa: Set[str], sb: Set[str]) -> float:
+    """Set-level Jaccard with the empty-set conventions the SQL oracles
+    mirror (both empty -> 1.0, one empty -> 0.0). The single source of
+    truth for ``ngram_jaccard`` and the distributed verifier."""
     if not sa and not sb:
         return 1.0
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    return jaccard_sets(shingles(a, n), shingles(b, n))
 
 
 # ------------------------------------------------------------------ minhash
@@ -255,33 +261,37 @@ def _distributed_jaccard_verify(
         return batch.select(["a", "b"]).cast(_pair_schema)
 
     # GLOBAL distinct + instance count on (a, b) while the rows are still
-    # narrow (16 bytes) — only when ``min_count > 1`` requires counting:
-    # the inverted-index generator emits one instance per shared rare
-    # shingle (dozens to hundreds per true pair — measured 20x verify wall
-    # if they all reached the text join), and the shared-count prefilter
-    # needs global instance counts. One bucketed shuffle; pb = f(a, b), so
-    # one pair's instances all land in one bucket and in-bucket counts are
-    # global. For ``min_count == 1`` callers (MinHash) the pass is SKIPPED:
-    # band collisions bound the duplicate factor at the band count (~2-4
-    # in practice), so an extra full sort-shuffle over pair rows costs
-    # more than the few duplicate text rows it would save; the in-group
-    # drop_duplicates below keeps verification idempotent.
-    if min_count > 1:
-        def _add_pb(batch: pa.Table) -> pa.Table:
-            return _pair_bucket_column(batch, "a", "b", "pb")
+    # narrow (16 bytes), ALWAYS: the inverted-index generator emits one
+    # instance per shared rare shingle (dozens to hundreds per true pair —
+    # measured 20x verify wall if they all reached the text join), and a
+    # MinHash pair well above threshold collides in ~p^r of the bands
+    # (J~0.9, r=4 -> ~21 of 32) with each colliding band hashed to a
+    # DIFFERENT partition, so per-partition dedup leaves ~20 instances per
+    # true pair — each of which would drag two full document texts through
+    # the verify join on exactly the high-duplication corpora dedup exists
+    # for. The narrow sort-shuffle costs ~0.2 s at sf0.1 (measured, within
+    # bench noise) and caps the text join at one row pair per candidate.
+    # pb = f(a, b), so one pair's instances land in one bucket and
+    # in-bucket counts are GLOBAL counts — ``min_count`` (the inverted
+    # index's shared-rare-shingle prefilter) and the distinct are the same
+    # pass.
+    def _add_pb(batch: pa.Table) -> pa.Table:
+        return _pair_bucket_column(batch, "a", "b", "pb")
 
-        def _count_filter_bucket(part: pd.DataFrame) -> pd.DataFrame:
+    def _count_filter_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        if min_count > 1:
             sizes = part.groupby(["a", "b"], sort=False).size()
             keep = sizes[sizes >= min_count].reset_index()[["a", "b"]]
             return keep.astype({"a": "int64", "b": "int64"})
+        return part.drop_duplicates(subset=["a", "b"])[["a", "b"]]
 
-        # Leading repartition: rebuilds blocks so schema-less empties from
-        # the candidate generator's map_groups don't bypass the coercion.
-        pairs_ds = pairs_ds.repartition(n_join).map_batches(
-            _coerce_pairs, batch_format="pyarrow"
-        ).map_batches(_add_pb, batch_format="pyarrow").groupby("pb").map_groups(
-            pandas_udf(_count_filter_bucket), batch_format="pandas"
-        )
+    # Leading repartition: rebuilds blocks so schema-less empties from
+    # the candidate generator's map_groups don't bypass the coercion.
+    pairs_ds = pairs_ds.repartition(n_join).map_batches(
+        _coerce_pairs, batch_format="pyarrow"
+    ).map_batches(_add_pb, batch_format="pyarrow").groupby("pb").map_groups(
+        pandas_udf(_count_filter_bucket), batch_format="pandas"
+    )
 
     # The repartition is over pair rows only; it also rebuilds blocks so
     # schema-less empties from map_groups never reach the join (which
@@ -355,13 +365,7 @@ def _distributed_jaccard_verify(
             if len(sub) != 2:
                 continue  # missing doc (filtered upstream) -> unverifiable
             by_key = dict(zip(sub["key"], sub[text_col]))
-            sa, sb = sset(a, by_key[a]), sset(b, by_key[b])
-            if not sa and not sb:
-                j = 1.0
-            elif not sa or not sb:
-                j = 0.0
-            else:
-                j = len(sa & sb) / len(sa | sb)
+            j = jaccard_sets(sset(a, by_key[a]), sset(b, by_key[b]))
             if j >= threshold:
                 out_a.append(a)
                 out_b.append(b)
@@ -524,15 +528,15 @@ def minhash_lsh_dedup(
     where dup_group is the minimum doc_id of the near-dup component.
 
     The verify step is fully distributed (r1 VERDICT fix; see
-    ``_distributed_jaccard_verify``): candidates are deduped per partition
-    at generation and idempotently re-deduped in the verify groups (the
-    band count bounds the cross-partition duplicate factor, so the global
-    distinct shuffle the inverted-index operator needs is skipped here),
-    the texts are attached via ONE hash join against the pruned (id, text)
-    projection, and the exact n-gram Jaccard runs in-group — no candidate
-    text ever reaches the driver. Only VERIFIED pairs (bounded by the true
-    duplicate count) are collected for the connected-components step,
-    which stays a tiny driver union-find broadcast back as a lookup map.
+    ``_distributed_jaccard_verify``): candidate pairs go through a global
+    narrow distinct (a true pair collides in ~p^r of the bands — ~21 of 32
+    at J~0.9 — each hashed to a different partition, so per-partition
+    dedup alone is not enough), the texts are attached via ONE hash join
+    against the pruned (id, text) projection, and the exact n-gram Jaccard
+    runs in-group — no candidate text ever reaches the driver. Only
+    VERIFIED pairs (bounded by the true duplicate count) are collected for
+    the connected-components step, which stays a tiny driver union-find
+    broadcast back as a lookup map.
     """
     from .dispatch import stage_map_batches
 

@@ -23,3 +23,51 @@ def test_q3_broadcast_and_shuffle_routes_identical(ray_session, monkeypatch):
     monkeypatch.setattr(q, "BROADCAST_SEMI_MAX_BYTES", 0)
     shuffle = _run_q3()
     pd.testing.assert_frame_equal(broadcast, shuffle)
+
+
+def test_q3_survives_fully_filtered_orders_block(ray_session, tmp_path):
+    """An orders parquet file whose rows ALL fail the date predicate
+    produces a 0-row block that bypasses map_batches UDFs and keeps its
+    3-column schema; without a plan-level projection the downstream
+    lineitem hash join dies on mixed schemas (confirmed on Ray 2.49).
+    Both routes must survive and agree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sf"
+    (sf / "orders.parquet").mkdir(parents=True)
+    early = pd.Timestamp("1997-06-01")
+    late = pd.Timestamp("1998-06-01")  # fails o_orderdate < 1998-01-01
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([1, 2], type=pa.int64()),
+                  "o_custkey": pa.array([10, 11], type=pa.int64()),
+                  "o_orderdate": pa.array([early, early])}),
+        str(sf / "orders.parquet" / "part0.parquet"),
+    )
+    pq.write_table(  # entirely filtered out -> the degenerate block
+        pa.table({"o_orderkey": pa.array([3, 4], type=pa.int64()),
+                  "o_custkey": pa.array([10, 12], type=pa.int64()),
+                  "o_orderdate": pa.array([late, late])}),
+        str(sf / "orders.parquet" / "part1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([10, 11, 12], type=pa.int64()),
+                  "c_mktsegment": pa.array(["BUILDING", "AUTOMOBILE",
+                                            "BUILDING"])}),
+        str(sf / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+            "l_extendedprice": pa.array([100.0, 200.0, 300.0]),
+            "l_discount": pa.array([0.1, 0.0, 0.2]),
+            "l_shipdate": pa.array([pd.Timestamp("1998-02-01")] * 3),
+        }),
+        str(sf / "lineitem.parquet"),
+    )
+    out = q.q_q3_top_orders(str(sf))
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    # Order 1 (BUILDING cust 10, early order, post-1998 shipment) only:
+    # order 2's customer is AUTOMOBILE; orders 3/4 fail the date filter.
+    assert df["o_orderkey"].tolist() == [1]
+    assert df["revenue"].tolist() == [90.0]
