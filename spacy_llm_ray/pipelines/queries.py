@@ -649,15 +649,16 @@ def q_events_sessions(sf_dir: str, gap_minutes: int = 30):
         agg = g.groupby("user_id", sort=False).agg(
             n_sessions=("new_session", "sum"), n_events=("ts", "size")
         )
-        return agg.reset_index()[["user_id", "n_sessions", "n_events"]]
+        return agg.reset_index()[["user_id", "n_sessions", "n_events"]].astype(
+            {"n_sessions": "int64", "n_events": "int64"}
+        )
 
-    out = ev.map_batches(
+    # Returned as a Dataset: the result is per-user scale — GBs at 100x —
+    # so the dtype pinning happens in-stage and the consumer decides
+    # whether to collect.
+    return ev.map_batches(
         _add_key_bucket("user_id"), batch_format="pyarrow"
     ).groupby("bucket").map_groups(pandas_udf(sessions), batch_format="pandas")
-    df = out.to_pandas()
-    df["n_sessions"] = df["n_sessions"].astype("int64")
-    df["n_events"] = df["n_events"].astype("int64")
-    return df
 
 
 SQL_EVENTS_SESSIONS = """
@@ -811,14 +812,13 @@ def q_top_orders_per_customer(sf_dir: str, k: int = 3):
         )
         g["rank"] = g.groupby("o_custkey", sort=False).cumcount() + 1
         g = g[g["rank"] <= k]
-        return g[["o_custkey", "o_orderkey", "rank"]]
+        return g[["o_custkey", "o_orderkey", "rank"]].astype({"rank": "int64"})
 
-    out = orders.map_batches(
+    # Returned as a Dataset (per-customer scale at 100x); dtype pinned
+    # in-stage.
+    return orders.map_batches(
         _add_key_bucket("o_custkey"), batch_format="pyarrow"
     ).groupby("bucket").map_groups(pandas_udf(topk), batch_format="pandas")
-    df = out.to_pandas()
-    df["rank"] = df["rank"].astype("int64")
-    return df
 
 
 SQL_TOP_ORDERS_PER_CUSTOMER = """
