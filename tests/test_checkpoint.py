@@ -89,6 +89,30 @@ def test_matches_unpartitioned_pipeline(sf_dir, tmp_path_factory):
     assert _load_triples(out) == direct
 
 
+def test_partitioned_distributed_canon_route_matches(
+    sf_dir, tmp_path_factory, monkeypatch
+):
+    """Force the checkpointed runner past the pair bound: the distributed
+    CC + hash-join canonicalization branch (the 100-TB route) must emit
+    the same triples as the driver route, and the _SUCCESS lineage must
+    record the routing decision it actually took."""
+    import json
+
+    out_driver = str(tmp_path_factory.mktemp("kg_canon_drv"))
+    run_partitioned_kg(sf_dir, out_driver, n_partitions=2)
+    with open(os.path.join(out_driver, "_SUCCESS")) as f:
+        assert json.load(f)["canon_route"]["route"] == "driver"
+
+    monkeypatch.setattr(kg, "DRIVER_CANON_MAX_PAIRS", 0)
+    out_dist = str(tmp_path_factory.mktemp("kg_canon_dist"))
+    run_partitioned_kg(sf_dir, out_dist, n_partitions=2)
+    with open(os.path.join(out_dist, "_SUCCESS")) as f:
+        rec = json.load(f)["canon_route"]
+    assert rec["route"] == "distributed" and rec["forced"] is False
+
+    assert _load_triples(out_dist) == _load_triples(out_driver)
+
+
 def test_subpartition_shard_resume(sf_dir, tmp_path_factory):
     """n_shards_per_partition=2: a crash mid-partition loses at most one
     SHARD; resume skips completed shards and the final output matches the
