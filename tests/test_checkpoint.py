@@ -96,8 +96,6 @@ def test_partitioned_distributed_canon_route_matches(
     CC + hash-join canonicalization branch (the 100-TB route) must emit
     the same triples as the driver route, and the _SUCCESS lineage must
     record the routing decision it actually took."""
-    import json
-
     out_driver = str(tmp_path_factory.mktemp("kg_canon_drv"))
     run_partitioned_kg(sf_dir, out_driver, n_partitions=2)
     with open(os.path.join(out_driver, "_SUCCESS")) as f:
