@@ -1450,29 +1450,31 @@ def q_media_features(sf_dir: str):
     """Multimodal path with REAL codecs (pure-numpy PPM decode, numpy
     nearest-neighbor resize, stdlib-wave WAV decode, pure-numpy AVI walk):
     binary media columns -> pixel tensor -> image + audio + sampled-frame
-    features, all inside actor-pool map_batches stages. Input is the
-    deterministic generated media table; the oracle is the encoder-side
-    gold feature parquet (value-checked, r3 VERDICT #5)."""
+    features. The decode/feature stages are deterministic pure-numpy
+    state, so they ride the warm-task dispatch path (a real model-backed
+    decode — GPU weights, licensed codec handles — would declare
+    ``requires_actor_pool`` and get a pool; the stage signature is
+    identical either way). Input is the deterministic generated media
+    table; the oracle is the encoder-side gold feature parquet
+    (value-checked, r3 VERDICT #5)."""
     from ..stages import multimodal as mm
 
     _ensure_media_gold()
     ds = _rd().from_arrow(mm.make_fake_media_table(n=_MEDIA_N))
-    out = ds.map_batches(
-        mm.ImageDecodeStage, batch_format="pyarrow", batch_size=16,
-        concurrency=1,
-    ).map_batches(
-        mm.ImageFeatureStage, batch_format="pyarrow", batch_size=16,
-        concurrency=1,
-    ).map_batches(
-        lambda t: t.drop_columns(["meta"]), batch_format="pyarrow"
-    ).map_batches(
-        mm.AudioFeatureStage,
-        fn_constructor_kwargs=dict(data_col="audio"),
-        batch_format="pyarrow", batch_size=16, concurrency=1,
-    ).map_batches(
-        mm.VideoFrameSampleStage,
-        fn_constructor_kwargs=dict(data_col="video", every=2),
-        batch_format="pyarrow", batch_size=16, concurrency=1,
+    out = stage_map_batches(
+        stage_map_batches(
+            stage_map_batches(
+                stage_map_batches(
+                    ds, mm.ImageDecodeStage, {}, batch_size=16,
+                ),
+                mm.ImageFeatureStage, {}, batch_size=16,
+            ).map_batches(
+                lambda t: t.drop_columns(["meta"]), batch_format="pyarrow"
+            ),
+            mm.AudioFeatureStage, dict(data_col="audio"), batch_size=16,
+        ),
+        mm.VideoFrameSampleStage, dict(data_col="video", every=2),
+        batch_size=16,
     )
 
     def flatten_features(t: pa.Table) -> pa.Table:
