@@ -147,17 +147,19 @@ def kg_linked_dataset(
     kb: Optional[InMemoryKB] = None,
     batch_size: int = 64,
 ):
-    import ray
-
     from ..stages.dispatch import stage_map_batches
 
     models = models or default_models()
-    kb_ref = ray.put(kb or tdata.build_kb())
     rels = kg_relations_dataset(sf_dir, models, batch_size)
+    # The KB ships as a plain object in the stage kwargs: the dispatch
+    # layer content-keys the config and does ONE ray.put per distinct KB
+    # (broadcast), so repeat invocations hit the warm stage cache. A
+    # pre-made ray.put ref here would mint a fresh ref id per call and
+    # defeat that memo (same fix as the q3 broadcast keys).
     return stage_map_batches(
         rels,
         ElStage,
-        dict(kb=kb_ref, model=models["el"]),
+        dict(kb=kb or tdata.build_kb(), model=models["el"]),
         batch_size=batch_size,
         concurrency=_pool(),
         models=(models["el"],),
@@ -245,7 +247,11 @@ def kg_raw_triples_dataset(
     from ..stages.llm_stage import KGStage
 
     models = models or default_models()
-    kb_ref = ray.put(kb or tdata.build_kb())
+    # Plain object, not a pre-made ray.put ref: the dispatch layer
+    # content-keys the stage kwargs and does one put per distinct KB, so
+    # repeat invocations hit the warm stage cache (a fresh ref id per call
+    # would miss every time).
+    kb_obj = kb or tdata.build_kb()
     if docs is None:
         docs = documents_dataset(sf_dir, max_doc_turns=MAX_DOC_TURNS)
     docs = docs.select_columns(["conv_id", "text"])
@@ -262,7 +268,7 @@ def kg_raw_triples_dataset(
         dict(
             ner_kwargs=dict(labels=LABELS_NER, model=models["ner"]),
             rel_kwargs=dict(labels=LABELS_REL, model=models["rel"]),
-            el_kwargs=dict(kb=kb_ref, model=models["el"]),
+            el_kwargs=dict(kb=kb_obj, model=models["el"]),
         ),
         batch_size=batch_size,
         zero_copy_batch=True,
