@@ -97,6 +97,32 @@ def _run_pipeline(result, idx, cap):
     result[idx] = sorted(r["y"] for r in out.take_all())
 
 
+def test_flagship_stage_config_content_keys_stably(ray_session):
+    """Two independently-built flagship stage configs (fresh KB + fresh
+    model objects, same content) must produce the SAME content key and hit
+    the same memoized kwargs ref — pinning the regression class where a
+    pre-made ray.put ref (fresh ref id per call) lands in stage kwargs and
+    silently defeats the warm-stage cache forever."""
+    from spacy_llm_ray.data import transcripts as tdata
+    from spacy_llm_ray.pipelines import kg
+    from spacy_llm_ray.stages.llm_stage import KGStage
+
+    def build_kwargs():
+        models = kg.default_models()
+        return dict(
+            ner_kwargs=dict(labels=kg.LABELS_NER, model=models["ner"]),
+            rel_kwargs=dict(labels=kg.LABELS_REL, model=models["rel"]),
+            el_kwargs=dict(kb=tdata.build_kb(), model=models["el"]),
+        )
+
+    k1 = dispatch._content_key(KGStage, build_kwargs())
+    k2 = dispatch._content_key(KGStage, build_kwargs())
+    assert k1 is not None and k1 == k2
+    r1 = dispatch._kwargs_ref_for(k1, build_kwargs())
+    r2 = dispatch._kwargs_ref_for(k2, build_kwargs())
+    assert r1 == r2  # one ray.put per distinct config, memo hit
+
+
 def test_two_concurrent_pipelines_with_in_flight_cap(ray_session):
     """task_max_in_flight throttles the warm-task path (r3 VERDICT #3): two
     pipelines sharing the cluster both finish correctly under a 2-task cap."""
