@@ -328,10 +328,11 @@ def q_q1_pricing_summary(sf_dir: str):
     )
 
     def final(batch: pa.Table) -> pa.Table:
+        # half_towards_infinity = DuckDB round()'s half-away-from-zero.
         return batch.set_column(
             batch.schema.get_field_index("revenue"),
             "revenue",
-            pc.round(batch["revenue"], 2),
+            pc.round(batch["revenue"], 2, round_mode="half_towards_infinity"),
         )
 
     return out.map_batches(final, batch_format="pyarrow")
@@ -478,10 +479,13 @@ def q_q3_top_orders(sf_dir: str):
     # oracle's ORDER BY round(...) DESC, o_orderkey — sorting the unrounded
     # float would pick a different (and nondeterministic) top-10 membership
     # whenever two orders at the rank boundary round to the same cent.
+    # half_towards_infinity matches DuckDB round()'s half-away-from-zero
+    # (pc.round's default half_to_even would diverge on exact half-cents).
     def round_rev(batch: pa.Table) -> pa.Table:
         return batch.set_column(
             batch.schema.get_field_index("revenue"), "revenue",
-            pc.round(batch["revenue"], ndigits=2),
+            pc.round(batch["revenue"], ndigits=2,
+                     round_mode="half_towards_infinity"),
         )
 
     top = (
@@ -1420,9 +1424,35 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 # table computed from the RAW arrays (never through the decoders); the
 # query decodes the binary payloads and recomputes the same features, so
 # the driver's value-hash compare verifies every decode path bit-exactly.
-# Versioned filename: bump if the gold computation ever changes.
+# The filename embeds a digest of the gold COMPUTATION (source of the gold
+# function and every arithmetic helper it replicates, plus n) so any change
+# to the feature arithmetic auto-invalidates the cached file — a manual
+# version bump can't be forgotten (r4 ADVICE: stale-file hazard).
 _MEDIA_N = 64
-_MEDIA_GOLD_PATH = os.path.join(tdata.DEFAULT_DATA_DIR, "media_gold_v1.parquet")
+
+
+def _media_gold_digest() -> str:
+    import hashlib
+    import inspect
+
+    from ..stages import multimodal as mm
+
+    src = "".join(
+        inspect.getsource(f)
+        for f in (
+            mm.media_features_gold,
+            mm._media_raw_items,
+            mm.resize_nearest,
+            mm.frame_sample_indices,
+            mm.encode_wav,
+        )
+    )
+    return hashlib.sha256(f"{src}:n={_MEDIA_N}".encode()).hexdigest()[:12]
+
+
+_MEDIA_GOLD_PATH = os.path.join(
+    tdata.DEFAULT_DATA_DIR, f"media_gold_{_media_gold_digest()}.parquet"
+)
 
 
 def _ensure_media_gold() -> str:
@@ -1504,11 +1534,19 @@ def q_media_features(sf_dir: str):
 # Import-time, like the transcripts table: the oracle SQL below must find
 # the gold parquet whenever the driver runs it. Never let this break module
 # import for pipelines that don't touch media (e.g. an unwritable data dir
-# on a worker node) — q_media_features re-ensures at call time anyway.
+# on a worker node, or any failure inside the gold computation) —
+# q_media_features re-ensures at call time anyway, where a real error
+# surfaces attributably (r4 ADVICE: OSError-only left non-OS exceptions
+# breaking import of the whole query registry).
 try:
     _ensure_media_gold()
-except OSError:  # pragma: no cover - unwritable/odd filesystem only
-    pass
+except Exception as _e:  # pragma: no cover - deferred to call time
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "media gold parquet not pre-written at import (%s); "
+        "q_media_features will re-ensure at call time", _e,
+    )
 
 SQL_MEDIA_FEATURES = f"""
 SELECT media_id, mean_r, mean_g, mean_b, std_r, std_g, std_b,
@@ -1581,7 +1619,7 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 # prompt -> model -> parse path runs for every row)
 
 def _task_stage(sf_dir: str, model, prompt_fn, parse_fn, out_col, out_type,
-                reduce="join", post_fn=None):
+                reduce="join", post_fn=None, shard_post_fn=None):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return stage_map_batches(
         ds,
@@ -1589,7 +1627,7 @@ def _task_stage(sf_dir: str, model, prompt_fn, parse_fn, out_col, out_type,
         dict(
             model=model, prompt_fn=prompt_fn, parse_fn=parse_fn,
             out_col=out_col, out_type=out_type, reduce=reduce,
-            post_fn=post_fn,
+            post_fn=post_fn, shard_post_fn=shard_post_fn,
         ),
         batch_size=128,
         concurrency=(1, 4),
@@ -1702,16 +1740,22 @@ def q_task_raw_rest(sf_dir: str):
     )
 
 
-def _lemma_guard(pairs, tokens):
-    """Reference count guard applied IN-STAGE (module scope for a stable
-    warm-task cache key): the stage already tokenizes each doc, so the guard
-    compares the concat-reduced lemma pairs against the doc's own token
-    count — no corpus-wide token-count pass and no driver-side dict
-    (r3 VERDICT: the last full-table driver materialization in the query
-    surface). Mirrors /root/reference/spacy_llm/tasks/lemma/task.py:56-61
-    (per-doc guard, not global)."""
-    lem = apply_lemmas(len(tokens), pairs)
-    return " ".join(lem) if lem is not None else ""
+def _lemma_shard_guard(pairs, n_shard_tokens):
+    """Reference count guard applied PER SHARD in-stage (module scope for a
+    stable warm-task cache key): the reference compares each SHARD's lemma
+    pairs against that shard's own token count and skips only the
+    mismatched shard (/root/reference/spacy_llm/tasks/lemma/task.py:56-61)
+    — a post-reduce per-doc guard would null every shard's lemmas on one
+    bad shard (r4 ADVICE). Returns None on mismatch; the concat_list reduce
+    drops None shard values, mirroring the reference's unlemmatized-shard
+    merge. No corpus-wide token-count pass and no driver-side dict
+    (r3 VERDICT: the last full-table driver materialization)."""
+    return apply_lemmas(n_shard_tokens, pairs)
+
+
+def _lemma_join(lemmas, _tokens):
+    """Final per-doc formatting of the concat-reduced surviving lemmas."""
+    return " ".join(lemmas) if lemmas is not None else ""
 
 
 def q_task_lemma(sf_dir: str):
@@ -1720,7 +1764,8 @@ def q_task_lemma(sf_dir: str):
 
     return _task_stage(
         sf_dir, MockLemmaModel(), lemma_prompt, parse_lemma_response,
-        "lemmas", pa.string(), reduce="concat_list", post_fn=_lemma_guard,
+        "lemmas", pa.string(), reduce="concat_list",
+        post_fn=_lemma_join, shard_post_fn=_lemma_shard_guard,
     )
 
 

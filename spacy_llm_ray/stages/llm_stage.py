@@ -574,6 +574,7 @@ class LLMTaskStage(_ShardingMixin):
         text_col: str = "text",
         save_io: bool = False,
         post_fn: Optional[Callable[[Any, Sequence], Any]] = None,
+        shard_post_fn: Optional[Callable[[Any, int], Any]] = None,
     ):
         assert reduce in self._REDUCERS, reduce
         self._model = _maybe_get(model)
@@ -585,11 +586,17 @@ class LLMTaskStage(_ShardingMixin):
         self._text_col = text_col
         self._save_io = save_io
         # post_fn(combined_value, doc_tokens) -> final value: per-doc
-        # finalizers that need the document's own tokenization, e.g. the
-        # Lemma count guard (reference applies it per doc against the doc's
-        # token count, tasks/lemma/task.py — the stage already tokenizes, so
-        # no separate corpus-wide count pass or driver-side dict is needed).
+        # finalizers that need the document's own tokenization (the stage
+        # already tokenizes, so no separate corpus-wide count pass or
+        # driver-side dict is needed).
         self._post_fn = post_fn
+        # shard_post_fn(parsed_value, n_shard_tokens) -> value: per-SHARD
+        # finalizers applied before the reduce, for guards the reference
+        # runs shard-by-shard — e.g. the Lemma count guard
+        # (tasks/lemma/task.py:56-61 skips only the mismatched SHARD, not
+        # the whole doc; a post-reduce guard would null every shard's
+        # lemmas on one bad shard).
+        self._shard_post_fn = shard_post_fn
         self._shard_mapper = make_shard_mapper()
         self._context_length = getattr(self._model, "context_length", None)
 
@@ -625,6 +632,10 @@ class LLMTaskStage(_ShardingMixin):
         for (text, tokens), (shards, responses, _prompts) in zip(items, results):
             vals = [self._parse_fn(r) for r in responses]
             weights = [s.tok_end - s.tok_start for s in shards]
+            if self._shard_post_fn is not None:
+                vals = [
+                    self._shard_post_fn(v, w) for v, w in zip(vals, weights)
+                ]
             combined = self._combine(vals, weights)
             if self._post_fn is not None:
                 combined = self._post_fn(combined, tokens)
