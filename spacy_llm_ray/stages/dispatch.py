@@ -41,6 +41,7 @@ of the worker process.
 from __future__ import annotations
 
 import hashlib
+import weakref
 from typing import Any, Dict, Optional, Tuple, Type
 
 # Per-worker-process cache: (stage_cls, content_key) -> instance. Bounded
@@ -53,25 +54,96 @@ _PER_CLASS_MAX = 2
 
 # Driver-side memo: content key -> ObjectRef of stage_kwargs. One ray.put
 # per distinct config per session; holding the ref here keeps the object
-# alive for all in-flight Datasets that reference it.
+# alive for all in-flight Datasets that reference it. Evicted FIFO by
+# count AND by approximate payload bytes (r4 ADVICE: a size-blind memo
+# pins multi-hundred-MB payloads in the object store for the driver's
+# lifetime).
 _KWARGS_REF_MEMO: Dict[str, Any] = {}
 _KWARGS_REF_MEMO_MAX = 64
+_KWARGS_REF_MEMO_MAX_BYTES = 1 << 30  # 1 GiB of pinned payload
+_KEY_BYTES: Dict[str, int] = {}  # content key -> approx payload bytes
+
+# Per-OBJECT digest memo (r4 ADVICE: re-cloudpickling a multi-hundred-MB
+# KB/array payload on EVERY stage_map_batches call is a per-invocation
+# driver-side serialize of the whole thing). Keyed by id() with a weakref
+# finalizer evicting the entry when the object dies, so a recycled id can
+# never alias a dead object's digest. Only payloads >= _MEMO_MIN_BYTES are
+# memoized — small values re-hash in microseconds.
+_OBJ_DIGEST_MEMO: Dict[int, Tuple[str, int]] = {}
+_MEMO_MIN_BYTES = 1 << 20
+
+
+def _memoize_digest(v: Any, digest: str, nbytes: int) -> None:
+    try:
+        weakref.finalize(v, _OBJ_DIGEST_MEMO.pop, id(v), None)
+    except TypeError:  # not weakref-able: unsafe to key by id
+        return
+    _OBJ_DIGEST_MEMO[id(v)] = (digest, nbytes)
+
+
+def _value_digest(v: Any) -> Tuple[str, int]:
+    """(digest, approx_bytes) of one stage-kwarg value.
+
+    Containers recurse (sorted dict items — canonical across insertion
+    orders) so a large leaf (KB object, numpy matrix) nested inside a
+    kwargs dict still hits the per-object memo. numpy buffers are hashed
+    directly (no pickle copy); everything else digests its cloudpickle
+    bytes, which are stable within a driver process for the payloads
+    stages carry (primitives, module-scope functions/classes, ObjectRefs —
+    whose serialized form embeds the stable ref id)."""
+    import numpy as np
+
+    cached = _OBJ_DIGEST_MEMO.get(id(v))
+    if cached is not None:
+        return cached
+    if isinstance(v, dict):
+        parts = []
+        total = 0
+        for k in sorted(v, key=repr):
+            kd, _ = _value_digest(k)
+            vd, vb = _value_digest(v[k])
+            parts.append(f"{kd}={vd}")
+            total += vb
+        return "{" + ",".join(parts) + "}", total
+    if isinstance(v, (list, tuple)):
+        parts = []
+        total = 0
+        for x in v:
+            xd, xb = _value_digest(x)
+            parts.append(xd)
+            total += xb
+        wrap = "[{}]" if isinstance(v, list) else "({})"
+        return wrap.format(",".join(parts)), total
+    if isinstance(v, np.ndarray):
+        a = v if v.flags.c_contiguous else np.ascontiguousarray(v)
+        h = hashlib.sha256(str((a.dtype.str, a.shape)).encode())
+        h.update(memoryview(a).cast("B"))
+        out = (f"nd:{h.hexdigest()}", a.nbytes)
+        if a.nbytes >= _MEMO_MIN_BYTES:
+            _memoize_digest(v, *out)
+        return out
+    from ray import cloudpickle
+
+    blob = cloudpickle.dumps(v)
+    out = (hashlib.sha256(blob).hexdigest(), len(blob))
+    if len(blob) >= _MEMO_MIN_BYTES:
+        _memoize_digest(v, *out)
+    return out
 
 
 def _content_key(stage_cls: Type, stage_kwargs: Dict[str, Any]) -> Optional[str]:
-    """Deterministic key for a stage config, or None if unpicklable.
+    """Deterministic content key for a stage config, or None if unpicklable.
 
-    cloudpickle bytes are stable within a driver process for the payloads
-    stages carry (primitives, numpy arrays, functions defined at module
-    scope, ObjectRefs — whose serialized form embeds the stable ref id).
-    """
+    Composed from per-VALUE digests (see ``_value_digest``) rather than one
+    cloudpickle of the whole kwargs dict, so a large broadcast payload is
+    serialized+hashed once per live object, not once per invocation."""
     try:
-        from ray import cloudpickle
-
-        blob = cloudpickle.dumps(
-            (stage_cls.__module__, stage_cls.__qualname__, stage_kwargs)
-        )
-        return hashlib.sha256(blob).hexdigest()
+        kd, total = _value_digest(stage_kwargs)
+        key = hashlib.sha256(
+            f"{stage_cls.__module__}.{stage_cls.__qualname__}|{kd}".encode()
+        ).hexdigest()
+        _KEY_BYTES[key] = total
+        return key
     except Exception:
         return None
 
@@ -109,7 +181,16 @@ def _kwargs_ref_for(content_key: Optional[str], stage_kwargs: Dict[str, Any]):
     ref = _KWARGS_REF_MEMO.get(content_key)
     if ref is None:
         ref = ray.put(stage_kwargs)
-        while len(_KWARGS_REF_MEMO) >= _KWARGS_REF_MEMO_MAX:
+        # FIFO-evict by count AND by total approximate payload bytes: one
+        # 800 MB KB config must not ride along with 63 others forever.
+        def total_bytes():
+            return sum(_KEY_BYTES.get(k, 0) for k in _KWARGS_REF_MEMO)
+
+        new_bytes = _KEY_BYTES.get(content_key, 0)
+        while _KWARGS_REF_MEMO and (
+            len(_KWARGS_REF_MEMO) >= _KWARGS_REF_MEMO_MAX
+            or total_bytes() + new_bytes > _KWARGS_REF_MEMO_MAX_BYTES
+        ):
             _KWARGS_REF_MEMO.pop(next(iter(_KWARGS_REF_MEMO)))
         _KWARGS_REF_MEMO[content_key] = ref
     return ref
@@ -118,6 +199,23 @@ def _kwargs_ref_for(content_key: Optional[str], stage_kwargs: Dict[str, Any]):
 def models_require_actors(*models) -> bool:
     """True if any model backend declares it needs a dedicated actor pool."""
     return any(getattr(m, "requires_actor_pool", False) for m in models if m is not None)
+
+
+def _default_task_cap(num_cpus: float) -> int:
+    """Default in-flight cap for the warm-task path: the cluster's actual
+    task-slot count for this stage (cluster CPUs / per-task num_cpus).
+
+    Locally this bound is a no-op (the executor cannot run more slots than
+    exist), so the single-node default stays full-speed — but it stops the
+    single-node default from silently becoming 'uncapped' on a cluster
+    (r4 VERDICT #7), where an uncapped light stage floods the scheduler
+    queue with pending tasks whose arg objects stay pinned. Pipelines that
+    share the cluster with model actor pools should pass an explicitly
+    LOWER ``task_max_in_flight``."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, int(cpus / max(float(num_cpus), 1e-9)))
 
 
 def stage_map_batches(
@@ -138,13 +236,16 @@ def stage_map_batches(
 
     ``models``: model objects consulted for ``requires_actor_pool`` when
     ``use_actors`` is not given. ``concurrency`` only constrains the actor
-    path; the task path lets the streaming executor use every free slot
-    unless ``task_max_in_flight`` caps concurrent tasks (set it when this
-    stage shares the cluster with other pipelines — an uncapped light stage
-    can otherwise starve a model pool).
+    path; the task path defaults its in-flight cap to the cluster's task
+    slots (``_default_task_cap`` — full speed on one node, bounded fan-out
+    on a cluster). Pass ``task_max_in_flight`` explicitly to cap LOWER when
+    this stage shares the cluster with other pipelines — an uncapped light
+    stage can otherwise starve a model pool.
     """
     if use_actors is None:
         use_actors = models_require_actors(*models)
+    if task_max_in_flight is None:
+        task_max_in_flight = _default_task_cap(num_cpus)
     if use_actors:
         return ds.map_batches(
             stage_cls,

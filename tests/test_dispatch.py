@@ -149,3 +149,81 @@ def test_throttled_plan_sets_task_concurrency(ray_session):
         ds, _CountingStage, {"tag": "capped", "factor": 2}, task_max_in_flight=1
     )
     assert sorted(r["y"] for r in out.take_all()) == [x * 2 for x in range(10)]
+
+
+def test_large_value_digest_memoized_per_object(ray_session):
+    """r4 ADVICE (low): a large payload must be serialized+hashed once per
+    live OBJECT, not once per stage_map_batches call — and the memo entry
+    must die with the object (weakref finalizer), never aliasing a
+    recycled id."""
+    import numpy as np
+
+    big = np.arange(1_000_000, dtype=np.float64)  # 8 MB, > _MEMO_MIN_BYTES
+    k1 = dispatch._content_key(_CountingStage, {"m": big, "tag": "a"})
+    assert id(big) in dispatch._OBJ_DIGEST_MEMO
+    d1 = dispatch._OBJ_DIGEST_MEMO[id(big)]
+    k2 = dispatch._content_key(_CountingStage, {"m": big, "tag": "a"})
+    assert k1 == k2
+    assert dispatch._OBJ_DIGEST_MEMO[id(big)] is d1  # memo hit, no re-hash
+    # Content-equal but distinct object -> same digest (content key, not
+    # identity key).
+    big2 = np.arange(1_000_000, dtype=np.float64)
+    assert dispatch._content_key(_CountingStage, {"m": big2, "tag": "a"}) == k1
+    # Nested inside a kwargs dict still hits the leaf memo.
+    k3 = dispatch._content_key(_CountingStage, {"inner": {"m": big}})
+    assert id(big) in dispatch._OBJ_DIGEST_MEMO and k3 is not None
+    bid = id(big)
+    del big, big2
+    import gc
+
+    gc.collect()
+    assert bid not in dispatch._OBJ_DIGEST_MEMO  # finalizer evicted
+
+
+def test_kwargs_ref_memo_size_aware_eviction(ray_session):
+    """r4 ADVICE (low): the kwargs-ref memo evicts by payload bytes, not
+    only by entry count — big configs cannot pin unbounded object-store
+    memory for the driver's lifetime."""
+    import numpy as np
+
+    dispatch._KWARGS_REF_MEMO.clear()
+    old_budget = dispatch._KWARGS_REF_MEMO_MAX_BYTES
+    dispatch._KWARGS_REF_MEMO_MAX_BYTES = 20 << 20  # 20 MB budget
+    try:
+        keys = []
+        for i in range(3):
+            kw = {"m": np.full(1_250_000, float(i)), "tag": i}  # ~10 MB each
+            k = dispatch._content_key(_CountingStage, kw)
+            dispatch._kwargs_ref_for(k, kw)
+            keys.append(k)
+        # 3 x 10 MB > 20 MB budget -> the oldest entry was evicted.
+        assert keys[0] not in dispatch._KWARGS_REF_MEMO
+        assert keys[2] in dispatch._KWARGS_REF_MEMO
+        assert len(dispatch._KWARGS_REF_MEMO) <= 2
+    finally:
+        dispatch._KWARGS_REF_MEMO_MAX_BYTES = old_budget
+        dispatch._KWARGS_REF_MEMO.clear()
+
+
+def test_default_task_cap_bounds_flagship_fanout(ray_session):
+    """r4 VERDICT #7: the warm-task path defaults to a derived in-flight
+    cap (cluster task slots) instead of uncapped — asserted at the policy
+    level and by running two concurrent DEFAULT-cap pipelines to completion
+    (the two-pipeline test above uses an explicit cap)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    assert dispatch._default_task_cap(1) == max(2, cpus)
+    assert dispatch._default_task_cap(2) == max(2, cpus // 2)
+
+    results = {}
+    threads = [
+        threading.Thread(target=_run_pipeline, args=(results, i, None))
+        for i in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results[0] == [x * 2 for x in range(400)]
+    assert results[1] == [x * 3 for x in range(400)]
