@@ -928,9 +928,10 @@ def q_docs_curation(sf_dir: str):
     exact_groups = enriched.groupby("fingerprint").aggregate(
         Min("doc_id", alias_name="keep_id")
     )
-    near = dedup_mod.minhash_lsh_dedup(ds, threshold=0.8).select_columns(
-        ["doc_id", "dup_group"]
-    )
+    near = dedup_mod.minhash_lsh_dedup(
+        ds, threshold=0.8,
+        approx_text_bytes=_table_bytes(sf_dir, "documents"),
+    ).select_columns(["doc_id", "dup_group"])
 
     # Byte-derived (r3 VERDICT #8): the joined sides are per-doc key/flag
     # projections of the documents table, so documents' size bounds both.
@@ -1016,7 +1017,10 @@ SELECT doc_id, CAST(fp AS BIGINT) AS rolling_fp FROM fp
 
 def q_docs_minhash_dedup(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = dedup_mod.minhash_lsh_dedup(ds, threshold=0.8)
+    out = dedup_mod.minhash_lsh_dedup(
+        ds, threshold=0.8,
+        approx_text_bytes=_table_bytes(sf_dir, "documents"),
+    )
     return out.select_columns(["doc_id", "dup_group"])
 
 
@@ -1132,7 +1136,10 @@ def q_docs_ngram_jaccard(sf_dir: str):
     verify. Unlike MinHash-LSH, candidate recall is exact for every pair
     sharing at least one non-hot shingle — no banding probability."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup_mod.ngram_jaccard_pairs(ds, threshold=0.5, df_cap=64)
+    return dedup_mod.ngram_jaccard_pairs(
+        ds, threshold=0.5, df_cap=64,
+        approx_text_bytes=_table_bytes(sf_dir, "documents"),
+    )
 
 
 # Independent SQL recomputation of the inverted-index n-gram Jaccard

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from typing import Dict, List, Set, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 import pandas as pd
@@ -36,6 +36,36 @@ _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
 def _stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big", signed=False)
+
+
+def _derived_parts(
+    approx_input_bytes,
+    default: int,
+    *,
+    row_expansion: float = 12.0,
+    target_bytes: int = 8 << 20,
+) -> int:
+    """Partition count for the bucket-group UDF stages: the BYTE bound is a
+    LOWER bound (r4 ADVICE: each ``groupby('part').map_groups`` partition
+    loads into ONE pandas DataFrame, so partitions must stay under
+    ``target_bytes`` of exploded rows or a worker OOMs — a fixed
+    ``n_parts=64`` breaks exactly when the corpus outgrows 64 x target),
+    floored by a parallelism bound of 2x cluster CPUs so every core gets
+    work at test scale (measured: dropping the floor to 2 at sf0.1 doubled
+    docs_ngram_jaccard's wall). No upper cap: for in-memory group UDFs the
+    memory bound must dominate the scheduler-flooding concern — tens of
+    thousands of small shuffle partitions are routine; one oversized
+    partition is fatal. ``row_expansion`` converts compressed parquet text
+    bytes to exploded in-memory row bytes (parquet->memory ~4x, text->
+    16-byte shingle/band rows ~3x). ``None`` (direct stage-level callers
+    with no byte hint, e.g. in-memory test datasets) -> ``default``."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    if approx_input_bytes is None:
+        return max(default, 2 * cpus) if default else 2 * cpus
+    oom_floor = -(-int(approx_input_bytes * row_expansion) // target_bytes)
+    return int(max(2 * cpus, oom_floor))
 
 
 def shingles(text: str, n: int = 3) -> Set[str]:
@@ -434,7 +464,8 @@ def ngram_jaccard_pairs(
     min_shared: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_parts: int = 64,
+    n_parts: Optional[int] = None,
+    approx_text_bytes: Optional[int] = None,
 ):
     """Exact n-gram-Jaccard near-dup pairs via an inverted shingle index
     (SURVEY §2.7 / training-data dedup family): Dataset of ``(a, b,
@@ -462,8 +493,16 @@ def ngram_jaccard_pairs(
     Verify: the shared distributed exact-Jaccard verifier — candidates are
     approximate only in RECALL; every emitted pair carries the exact
     Jaccard of the full shingle sets, so the SQL oracle (same candidate
-    rule, same division) matches value-for-value."""
+    rule, same division) matches value-for-value.
+
+    Partition counts are byte-derived from ``approx_text_bytes`` (the
+    corpus's on-disk size, passed by callers that read from parquet) via
+    ``_derived_parts`` — r4 ADVICE: a fixed count is OOM-prone at scale
+    and pure overhead at test scale. An explicit ``n_parts`` overrides."""
     from .dispatch import stage_map_batches
+
+    if n_parts is None:
+        n_parts = _derived_parts(approx_text_bytes, default=64)
 
     sh_rows = stage_map_batches(
         docs_ds,
@@ -504,15 +543,29 @@ def ngram_jaccard_pairs(
         "part"
     ).map_groups(pandas_udf(index_pairs), batch_format="pandas")
 
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    n_join = max(2, min(cpus // 8, 16))
+    n_join = _verify_join_parts(approx_text_bytes)
     return _distributed_jaccard_verify(
         pairs_ds, docs_ds, shingle_n=shingle_n, threshold=threshold,
         id_col=id_col, text_col=text_col, n_join=n_join, with_value=True,
         min_count=min_shared,
     )
+
+
+def _verify_join_parts(approx_text_bytes: Optional[int]) -> int:
+    """Hash-join partition count for the verify text join. Unlike the
+    group-UDF stages, each join partition costs a resident aggregator
+    (~0.1 s locally), so the parallelism floor stays the small CPU
+    fraction that measured best — the byte bound (~4x parquet->memory,
+    64 MB per partition, the query layer's join convention) takes over as
+    a LOWER bound once the corpus outgrows it."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    floor = max(2, min(cpus // 8, 16))
+    if approx_text_bytes is None:
+        return floor
+    oom_floor = -(-int(approx_text_bytes * 4) // (64 << 20))
+    return max(floor, oom_floor)
 
 
 def minhash_lsh_dedup(
@@ -523,6 +576,7 @@ def minhash_lsh_dedup(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    approx_text_bytes: Optional[int] = None,
 ):
     """Full MinHash-LSH near-dup pipeline -> Dataset of (doc_id, dup_group)
     where dup_group is the minimum doc_id of the near-dup component.
@@ -549,7 +603,9 @@ def minhash_lsh_dedup(
     band_rows = sigs.map_batches(
         lambda b: explode_bands(b, bands=bands, id_col=id_col), batch_format="pyarrow"
     )
-    n_parts = 64
+    # Band rows are ~bands x 20 bytes per doc — the same order as the
+    # exploded shingle rows, so the shared byte-derivation applies.
+    n_parts = _derived_parts(approx_text_bytes, default=64)
 
     def add_part(batch: pa.Table) -> pa.Table:
         return _pair_bucket_column(
@@ -560,10 +616,7 @@ def minhash_lsh_dedup(
         "part"
     ).map_groups(pandas_udf(_bucket_pairs), batch_format="pandas")
 
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    n_join = max(2, min(cpus // 8, 16))
+    n_join = _verify_join_parts(approx_text_bytes)
     verified_ds = _distributed_jaccard_verify(
         pairs_ds, docs_ds, shingle_n=shingle_n, threshold=threshold,
         id_col=id_col, text_col=text_col, n_join=n_join,
