@@ -30,6 +30,116 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# --------------------------------------------------------------- calibration
+# r4 VERDICT #1: the sustained-bench box drifts (same-commit headline
+# samples spanned 2.1-5.9 s across rounds), so box drift vs code regression
+# must be decidable from ONE bench JSON. Every run first times a FROZEN
+# pure-CPU reference kernel (same primitive mix as the engine's hot paths:
+# regex tokenize, md5 word hashes, uint64 polynomial windows, a pandas
+# groupby, a small matmul — but engine-code-independent, so engine
+# optimizations can never move it) and reports every timing both raw and
+# normalized by the kernel's drift factor. NEVER edit the kernel without
+# bumping the version and re-recording the reference constant.
+_CALIBRATION_VERSION = "cal-v1"
+#: Kernel walls on this box in the state the round-5 reference numbers
+#: were recorded (see BASELINE.md "Calibration"). TWO reference points:
+#: single-thread wall AND the wall of 2xN kernels on an N-process pool —
+#: measured here, the box's drift shows up ~2x stronger under multi-core
+#: load than single-thread (contention/steal), and the engine's 32-CPU
+#: walls track the PARALLEL factor, so normalization uses it.
+_CALIBRATION_REF_SEC = 0.80
+_CALIBRATION_PAR_REF_SEC = 1.95
+_CALIBRATION_PAR_PROCS = 8
+
+
+def calibration_kernel() -> float:
+    """Fixed single-process CPU workload; returns its wall seconds."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    t0 = time.monotonic()
+    rng = np.random.RandomState(7)
+    word_re = re.compile(r"\w+")
+    vocab = [f"tok{i:04d}" for i in range(2000)]
+    idx = rng.randint(0, 2000, size=(4000, 120))
+    texts = [" ".join(vocab[j] for j in row) for row in idx]
+    acc = 0
+    for t in texts:
+        ws = word_re.findall(t.lower())
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                for w in ws
+            ),
+            dtype=np.uint64,
+            count=len(ws),
+        )
+        m = len(h) - 2
+        a = np.zeros(m, dtype=np.uint64)
+        for k in range(3):
+            a = a * np.uint64(1099511628211) + h[k : k + m]
+        acc ^= int(np.unique(a)[0])
+    df = pd.DataFrame(
+        {"k": rng.randint(0, 64, 300_000), "v": rng.randn(300_000)}
+    )
+    df.groupby("k")["v"].agg(["sum", "count"])
+    x = rng.randn(384, 256)
+    for _ in range(30):
+        acc ^= int(abs(x @ x.T).sum()) & 0xFF
+    assert acc >= 0  # keep the work observable
+    return time.monotonic() - t0
+
+
+def _cal_child(_i):
+    return calibration_kernel()
+
+
+def calibration_parallel_sec() -> float:
+    """Wall of 2xN kernels on an N-process pool: samples the box's
+    MULTI-CORE throughput, which is what the engine's 32-CPU walls track
+    (measured: a phase where the single-thread kernel drifted 1.44x
+    inflated the 32-CPU headline 2.8x)."""
+    import multiprocessing as mp
+
+    n = _CALIBRATION_PAR_PROCS
+    with mp.Pool(n) as pool:
+        pool.map(_cal_child, range(n))  # warm the workers, untimed
+        t0 = time.monotonic()
+        pool.map(_cal_child, range(2 * n))
+        return time.monotonic() - t0
+
+
+def run_calibration() -> dict:
+    """Kernel walls + drift factors vs the recorded references. The
+    headline-normalizing ``drift_factor`` is the PARALLEL one; the
+    single-thread factor is reported alongside for diagnosis (parallel >>
+    single-thread drift = core contention; both high = the whole box)."""
+    walls = sorted(calibration_kernel() for _ in range(3))
+    sec = walls[1]
+    par = calibration_parallel_sec()
+    drift_st = (
+        round(sec / _CALIBRATION_REF_SEC, 3) if _CALIBRATION_REF_SEC else None
+    )
+    drift = (
+        round(par / _CALIBRATION_PAR_REF_SEC, 3)
+        if _CALIBRATION_PAR_REF_SEC
+        else drift_st
+    )
+    return {
+        "calibration_version": _CALIBRATION_VERSION,
+        "calibration_sec": round(sec, 3),
+        "calibration_runs": [round(w, 3) for w in walls],
+        "calibration_ref_sec": _CALIBRATION_REF_SEC,
+        "calibration_parallel_sec": round(par, 3),
+        "calibration_parallel_ref_sec": _CALIBRATION_PAR_REF_SEC,
+        "calibration_parallel_procs": _CALIBRATION_PAR_PROCS,
+        "drift_factor_single_thread": drift_st,
+        "drift_factor": drift,
+    }
+
 
 def run_bench() -> dict:
     import ray
@@ -59,19 +169,25 @@ def run_bench() -> dict:
 
     n_turns = pq.read_table(f"{data_dir}/transcripts.parquet", columns=["turn_idx"]).num_rows
 
+    # Calibration FIRST (immediately before the headline), so every timing
+    # below can be read against the box's state during this very run.
+    cal = run_calibration()
+
     # ---- headline: full KG pipeline (sharded default config).
-    # Two runs; the SECOND (steady-state) is the headline: run 1 pays
-    # one-off Ray worker spawn / package import / page-cache costs
-    # irrelevant to steady-state throughput. Both runs are recorded
-    # (headline_runs[0] = cold), and the label below says which was used —
-    # no best-of-N selection.
+    # Four runs; the headline is the MEDIAN of runs 2-4 (steady state):
+    # run 1 pays one-off Ray worker spawn / package import / page-cache
+    # costs irrelevant to steady-state throughput, and a single
+    # steady-state sample measured +-35% scheduler variance at sf0.1
+    # (r5: 2.6 vs 3.9 s back-to-back at identical calibration). All runs
+    # are recorded (headline_runs[0] = cold) — a median over disclosed
+    # samples, not best-of-N selection.
     runs = []
     n_triples = 0
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.monotonic()
         n_triples = kg.kg_triples_dataset(SF_DIR).count()
         runs.append(round(time.monotonic() - t0, 3))
-    headline = runs[-1]
+    headline = sorted(runs[1:])[1]
 
     # ---- representative per-operator timings (skipped for headline-only
     # scaling children, whose GRAFT_SF_DIR has no testdata tables)
@@ -102,6 +218,7 @@ def run_bench() -> dict:
 
     spilled_mb = _spilled_mb()
     ray.shutdown()
+    drift = cal["drift_factor"] or 1.0
     return {
         "metric": "kg_pipeline",
         "value": round(headline, 3),
@@ -112,9 +229,18 @@ def run_bench() -> dict:
         "turns": n_turns,
         "n_triples": n_triples,
         "headline_runs": runs,
-        "headline_metric": "steady_state (run 2 of 2; run 1 = cold start)",
+        "headline_metric": "steady_state (median of runs 2-4; run 1 = cold start)",
         "turns_per_sec": round(n_turns / headline, 1),
         "object_store_spilled_mb": spilled_mb,
+        # Box-drift calibration (r4 VERDICT #1): *_normalized = raw /
+        # drift_factor, i.e. the wall this run WOULD have taken with the
+        # reference box state. Read value_normalized against past rounds;
+        # a normalized regression is code, a raw-only regression is box.
+        **cal,
+        "value_normalized": round(headline / drift, 3),
+        "queries_normalized": {
+            k: round(v / drift, 3) for k, v in timings.items()
+        },
     }
 
 
@@ -206,6 +332,26 @@ def run_single_stream() -> dict:
     }
 
 
+def run_control(nwork: int, turns: int) -> dict:
+    """One LIVE run of the no-Ray multiprocessing hardware control
+    (scripts/scaling_control.py) — r4 VERDICT #3: the control numbers must
+    be measured by THIS run on THIS box, not recorded constants from a
+    prior round whose kernel was slower."""
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "scaling_control.py"),
+            str(nwork),
+            str(turns),
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
 def run_child(ncpu: int, sf_dir: str = None) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
     if sf_dir:
@@ -250,6 +396,32 @@ def main():
 
         scaling_dir = ensure_dataset(n_turns)
         results = {n: run_child(n, scaling_dir) for n in levels}
+        # LIVE hardware control at the primary pair's worker counts
+        # (r4 VERDICT #3: embedded control numbers must be measured at
+        # HEAD on this box — is_live_measurement: true). Skippable via
+        # BENCH_SCALING_SKIP_CONTROL=1 for quick iteration, in which case
+        # the artifact says so instead of shipping stale constants.
+        control: dict = {"is_live_measurement": False,
+                         "skipped": "BENCH_SCALING_SKIP_CONTROL=1"}
+        if not os.environ.get("BENCH_SCALING_SKIP_CONTROL"):
+            c_lo = run_control(levels[0], n_turns)
+            c_hi = run_control(levels[1], n_turns)
+            c_eff = (c_lo["value"] / c_hi["value"]) / (levels[1] / levels[0])
+            control = {
+                "source": "scripts/scaling_control.py — no-Ray "
+                "multiprocessing running the identical fused kernel, "
+                "pure compute in the timed section; run live by this "
+                "--scaling invocation at the primary pair's levels",
+                "is_live_measurement": True,
+                "turns": n_turns,
+                "workers_sec": {
+                    str(levels[0]): c_lo["value"],
+                    str(levels[1]): c_hi["value"],
+                },
+                "efficiency": {
+                    f"{levels[0]}->{levels[1]}": round(c_eff, 3)
+                },
+            }
         pairs = []
         for lo, hi in zip(levels, levels[1:]):
             eff = (results[lo]["value"] / results[hi]["value"]) / (hi / lo)
@@ -286,34 +458,17 @@ def main():
                     },
                     "pairs": pairs,
                     "primary_pair": f"{lo}->{hi}",
-                    "hardware_control": {
-                        "source": "scripts/scaling_control.py — no-Ray "
-                        "multiprocessing running the identical fused kernel, "
-                        "pure compute in the timed section",
-                        "recorded_efficiency": {"2->8": 0.868, "4->16": 0.601},
-                        # These are RECORDED constants, not measured by this
-                        # run — self-describing staleness so the artifact
-                        # can't pass them off as live on other hardware:
-                        "recorded_at": {
-                            "round": 3,
-                            "turns": 1920000,
-                            "artifact": "BENCH_SCALING_r03.json",
-                        },
-                        "stale_if": "different hardware or "
-                        "BENCH_SCALING_TURNS != 1920000; re-run "
-                        "scripts/scaling_control.py to refresh",
-                        "is_live_measurement": False,
-                    },
+                    "hardware_control": control,
                     "level_choice": (
                         "2->8 is the primary pair because both levels sit "
                         "below this single box's DRAM-bandwidth saturation "
                         "(~12-16 string-processing workers with the "
-                        "vectorized kernel): the no-Ray control tops out at "
-                        "0.868 (2->8) and 0.601 (4->16), so higher pairs "
-                        "measure the box, not the engine. The 8->32 pair is "
-                        "reported anyway, with the control as the hardware "
-                        "ceiling. Multi-node clusters do not share DRAM — "
-                        "each node brings its own bandwidth."
+                        "vectorized kernel; the live hardware_control above "
+                        "measures the no-Ray ceiling at the same levels), "
+                        "so higher pairs measure the box, not the engine. "
+                        "The 8->32 pair is reported anyway. Multi-node "
+                        "clusters do not share DRAM — each node brings its "
+                        "own bandwidth."
                     ),
                 }
             )
