@@ -1582,6 +1582,31 @@ def emb_neardup_lsh_pairs(sf_dir: str, threshold: float = 0.45,
 _EMB_CERT_SAMPLE_K = 64
 
 
+def q_emb_sampled_exact(sf_dir: str):
+    """Exact cosine near-dup pairs touching a K-vector query sample —
+    the O(K·n) sampled-ground-truth operator itself, value-checked per
+    pair (a, b, cos). This is the scale path for 'exact neighbors of a
+    bounded query set' (audits, eval sets, recall certificates): one
+    (batch x K) matmul per block against the broadcast sample, nothing
+    quadratic, nothing driver-held beyond the K sample vectors."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup_mod.embedding_sampled_exact_pairs(
+        ds, sample_k=_EMB_CERT_SAMPLE_K, threshold=0.45
+    )
+
+
+SQL_EMB_SAMPLED_EXACT = f"""
+WITH s AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_EMB_CERT_SAMPLE_K})
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE (x.vec_id IN (SELECT vec_id FROM s) OR y.vec_id IN (SELECT vec_id FROM s))
+  AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
 def q_emb_neardup_lsh(sf_dir: str):
     """SAMPLED recall certificate for the LSH operator (r4 VERDICT #4: the
     previous gate ran a full O(n^2) exact pass — sub-quadratic now). LSH
@@ -1929,6 +1954,7 @@ QUERIES: Dict[str, Tuple[Callable, Optional[str]]] = {
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_COSINE_TOPK),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "emb_neardup_lsh": (q_emb_neardup_lsh, SQL_EMB_NEARDUP_LSH),
+    "emb_sampled_exact": (q_emb_sampled_exact, SQL_EMB_SAMPLED_EXACT),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     # LLM task stages over documents
     "task_sentiment": (q_task_sentiment, SQL_TASK_SENTIMENT),
