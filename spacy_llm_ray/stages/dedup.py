@@ -138,6 +138,85 @@ def _window_poly_hashes(wh: np.ndarray, n: int) -> np.ndarray:
     return acc
 
 
+def _batch_shingle_hashes(
+    texts, hasher: "_WordHasher", n: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Whole-batch tokenize -> word-hash -> window-hash -> per-doc-distinct
+    kernel shared by MinHashStage and ShingleHashStage (r4 VERDICT #6: the
+    per-doc Python loop is gone from the two full-corpus stages).
+
+    Tokenization is two Arrow kernels (``utf8_lower`` +
+    ``split_pattern_regex`` on RE2 ``\\W+`` with empties dropped) — on ASCII
+    text identical to the previous per-doc Python ``re`` ``\\w+`` findall,
+    and exactly the semantics of the DuckDB oracles' ``regexp_extract_all``
+    (both RE2-class engines treat ``\\w`` as ``[0-9A-Za-z_]``). md5 runs
+    once per unique word per batch (``dictionary_encode`` + the cross-batch
+    _WordHasher cache); window hashing is one vectorized polynomial pass
+    over the whole batch with doc-boundary-aware window starts — the same
+    ``h = h*BASE + x`` uint64-wraparound arithmetic as
+    ``_window_poly_hashes``, verified hash-identical against the scalar
+    ``minhash_signature`` path in tests.
+
+    Returns ``(hashes uint64, doc_row_index int64)`` sorted by (doc, hash),
+    DISTINCT within each doc; no-word docs emit nothing.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    empty = (np.array([], dtype=np.uint64), np.array([], dtype=np.int64))
+    if n_docs == 0:
+        return empty
+    word_lists = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\W+")
+    if isinstance(word_lists, pa.ChunkedArray):
+        word_lists = word_lists.combine_chunks()
+    raw_counts = pc.list_value_length(word_lists).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat = word_lists.flatten()
+    keep = pc.greater(pc.binary_length(flat), 0)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), raw_counts)[keep_np]
+    words = flat.filter(keep)
+    if len(words) == 0:
+        return empty
+    counts = np.bincount(doc_idx, minlength=n_docs)
+    # md5 once per UNIQUE word in the batch; vectorized gather back.
+    enc = words.dictionary_encode()
+    uniq_hashes = hasher(enc.dictionary.to_pylist())
+    wh_flat = uniq_hashes[enc.indices.to_numpy().astype(np.int64)]
+    fstart = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    # Full windows (docs with >= n words): one polynomial pass over every
+    # window start in the batch (n fancy-indexed vector ops total).
+    m = np.where(counts >= n, counts - n + 1, 0)
+    total = int(m.sum())
+    if total:
+        doc_rep = np.repeat(np.arange(n_docs, dtype=np.int64), m)
+        first = np.repeat(np.cumsum(m) - m, m)
+        starts = fstart[doc_rep] + (np.arange(total, dtype=np.int64) - first)
+        acc = np.zeros(total, dtype=np.uint64)
+        for k in range(n):
+            acc = acc * _POLY_BASE + wh_flat[starts + k]
+    else:
+        doc_rep = np.array([], dtype=np.int64)
+        acc = np.array([], dtype=np.uint64)
+    # Short docs (0 < words < n) hash the full word list (the shared
+    # short-doc rule); c < n so at most n-1 fold steps, each vectorized.
+    short_idx = np.flatnonzero((counts > 0) & (counts < n))
+    acc_s = np.zeros(len(short_idx), dtype=np.uint64)
+    for k in range(n - 1):
+        sel = counts[short_idx] > k
+        acc_s[sel] = acc_s[sel] * _POLY_BASE + wh_flat[fstart[short_idx[sel]] + k]
+    all_h = np.concatenate((acc, acc_s))
+    all_d = np.concatenate((doc_rep, short_idx.astype(np.int64)))
+    # Per-doc DISTINCT in one lexsort over the batch.
+    order = np.lexsort((all_h, all_d))
+    h_s, d_s = all_h[order], all_d[order]
+    first_occ = np.empty(len(h_s), dtype=bool)
+    first_occ[:1] = True
+    first_occ[1:] = (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])
+    return h_s[first_occ], d_s[first_occ]
+
+
 def _minhash_params(num_perm: int, seed: int = 42):
     rng = np.random.RandomState(seed)
     prime = (1 << 61) - 1
@@ -170,16 +249,42 @@ class MinHashStage:
         self._num_perm = num_perm
         self._hasher = _WordHasher()
 
+    #: Max shingle rows per (shingles x perms) scratch matrix: 32k x 128
+    #: perms x 8 B = 32 MB per worker peak, independent of batch size.
+    _CHUNK_ROWS = 32768
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [
-            minhash_signature(
-                t, self._a, self._b, self._prime, self._n, self._hasher
-            ).astype(np.int64)
-            for t in batch[self._text_col].to_pylist()
-        ]
+        n_docs = len(batch)
+        # No-word docs keep the sentinel all-max signature (uint64 max ->
+        # int64 -1), exactly the scalar minhash_signature's empty rule.
+        sigs = np.full(
+            (n_docs, self._num_perm), np.iinfo(np.uint64).max, dtype=np.uint64
+        )
+        hv, didx = _batch_shingle_hashes(
+            batch[self._text_col], self._hasher, self._n
+        )
+        if len(hv):
+            a, b, prime = self._a, self._b, self._prime
+            seg = np.flatnonzero(np.r_[True, didx[1:] != didx[:-1]])
+            # Doc-aligned chunks: (a*h + b) % prime rowwise-min per doc,
+            # identical arithmetic to the scalar path, bounded scratch.
+            ci = 0
+            while ci < len(seg):
+                cj = ci
+                start = seg[ci]
+                while (
+                    cj + 1 < len(seg)
+                    and seg[cj + 1] - start <= self._CHUNK_ROWS
+                ):
+                    cj += 1
+                end = seg[cj + 1] if cj + 1 < len(seg) else len(hv)
+                vals = (hv[start:end, None] * a + b) % prime
+                mins = np.minimum.reduceat(vals, seg[ci : cj + 1] - start,
+                                           axis=0)
+                sigs[didx[seg[ci : cj + 1]]] = mins
+                ci = cj + 1
         arr = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.concatenate(sigs) if sigs else np.array([], dtype=np.int64)),
-            self._num_perm,
+            pa.array(sigs.astype(np.int64).ravel()), self._num_perm
         )
         return batch.append_column("minhash", arr)
 
@@ -436,23 +541,17 @@ class ShingleHashStage:
         self._hasher = _WordHasher()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh_out: List[np.ndarray] = []
-        ids_out: List[np.ndarray] = []
-        ids = batch[self._id].to_numpy(zero_copy_only=False)
-        for i, t in enumerate(batch[self._text].to_pylist()):
-            words = _WORD_RE.findall(t.lower())
-            if not words:
-                continue
-            hv = np.unique(_window_poly_hashes(self._hasher(words), self._n))
-            sh_out.append(hv)
-            ids_out.append(np.full(len(hv), ids[i], dtype=np.int64))
-        if not sh_out:
+        hv, didx = _batch_shingle_hashes(
+            batch[self._text], self._hasher, self._n
+        )
+        if not len(hv):
             return pa.table({"sh": pa.array([], type=pa.int64()),
                              self._id: pa.array([], type=pa.int64())})
+        ids = batch[self._id].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             # bit-reinterpret uint64 -> int64: injective, Arrow-storable
-            "sh": pa.array(np.concatenate(sh_out).view(np.int64)),
-            self._id: pa.array(np.concatenate(ids_out)),
+            "sh": pa.array(hv.view(np.int64)),
+            self._id: pa.array(ids[didx]),
         })
 
 

@@ -39,6 +39,96 @@ def test_minhash_similarity_tracks_jaccard():
     assert (s1 == minhash_signature(t1, a, b, prime)).all()
 
 
+def test_batch_kernel_matches_scalar_minhash_and_shingles():
+    """The whole-batch Arrow tokenize + vectorized window-hash kernel
+    (r4 VERDICT #6) must be hash-IDENTICAL to the scalar per-doc path the
+    SQL oracles replay — across empty, short (<n words), punctuation-heavy,
+    mixed-case, and long/repetitive docs."""
+    import pyarrow as pa
+
+    from spacy_llm_ray.stages.dedup import (
+        MinHashStage,
+        ShingleHashStage,
+        _WordHasher,
+        _WORD_RE,
+        _window_poly_hashes,
+    )
+
+    texts = [
+        "hello world foo bar baz",
+        "",
+        "one",
+        "two words",
+        "repeat repeat repeat repeat repeat",
+        "punct!! heavy... text-with_underscores 123",
+        "  leading and trailing  ",
+        "UPPER Case MiXeD",
+        "x " * 500,
+        "the quick brown fox jumps over the lazy dog " * 10,
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+
+    a, b, prime = _minhash_params(128, 42)
+    ref = np.stack(
+        [
+            minhash_signature(t, a, b, prime, 3, _WordHasher()).astype(
+                np.int64
+            )
+            for t in texts
+        ]
+    )
+    got = (
+        MinHashStage()(batch)["minhash"]
+        .combine_chunks()
+        .flatten()
+        .to_numpy()
+        .reshape(len(texts), 128)
+    )
+    assert (got == ref).all()
+
+    hasher = _WordHasher()
+    expected_pairs = set()
+    for i, t in enumerate(texts):
+        words = _WORD_RE.findall(t.lower())
+        if not words:
+            continue
+        for h in np.unique(_window_poly_hashes(hasher(words), 3)):
+            expected_pairs.add((int(h.view(np.int64)), i))
+    out = ShingleHashStage()(batch)
+    assert (
+        set(zip(out["sh"].to_pylist(), out["doc_id"].to_pylist()))
+        == expected_pairs
+    )
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string()),
+        }
+    )
+    assert len(MinHashStage()(empty)) == 0
+    assert len(ShingleHashStage()(empty)) == 0
+
+    # Chunked segmented-min path: a scratch-matrix cap smaller than any
+    # doc's shingle count forces one-doc-per-chunk (and the oversized-doc
+    # fallback), which must not change a single signature.
+    tiny = MinHashStage()
+    tiny._CHUNK_ROWS = 4
+    got_tiny = (
+        tiny(batch)["minhash"]
+        .combine_chunks()
+        .flatten()
+        .to_numpy()
+        .reshape(len(texts), 128)
+    )
+    assert (got_tiny == ref).all()
+
+
 def test_simhash_near_for_near_texts():
     h1 = SimHashStage.simhash64("the quick brown fox jumps over the lazy dog")
     h2 = SimHashStage.simhash64("the quick brown fox jumps over the lazy cat")
