@@ -19,6 +19,11 @@ import os
 import sys
 import time
 
+# Importable regardless of invoker cwd (bench.py --scaling runs this as a
+# subprocess; the script dir, not the repo root, is what Python puts on
+# sys.path for `python scripts/scaling_control.py`).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import pyarrow.parquet as pq
 
 TURNS = int(sys.argv[2]) if len(sys.argv) > 2 else 1_920_000

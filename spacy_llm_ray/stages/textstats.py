@@ -16,31 +16,40 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_WS_RE = re.compile(r"\s+")
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 _PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count (spacy.NTokenEstimator.v1 semantics,
-    /root/reference/spacy_llm/tasks/util/sharding.py:16-17), vectorized via
-    pandas str ops."""
-    s = batch[text_col].to_pandas()
-    n = s.str.strip().apply(lambda t: len(_WS_RE.split(t)) if t else 0)
-    return batch.append_column("n_tokens", pa.array(n.astype("int64")))
+    /root/reference/spacy_llm/tasks/util/sharding.py:16-17): the number of
+    ``\\S+`` runs, one Arrow regex-count kernel over the batch (== strip +
+    split-on-whitespace length, 0 for empty/whitespace-only)."""
+    n = pc.cast(
+        pc.count_substring_regex(batch[text_col], pattern=r"\S+"), pa.int64()
+    )
+    return batch.append_column("n_tokens", n)
 
 
 def quality_counters_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Integer quality counters: n_chars, n_words, n_punct (ratios derive
-    downstream; integers keep oracle comparison exact)."""
-    texts = batch[text_col].to_pylist()
-    n_chars = [len(t) for t in texts]
-    n_words = [len(_WORD_RE.findall(t)) for t in texts]
-    n_punct = [len(_PUNCT_RE.findall(t)) for t in texts]
+    downstream; integers keep oracle comparison exact). Three Arrow kernels
+    over the whole batch — ``utf8_length`` == Python ``len`` on str, and
+    ``count_substring_regex`` counts non-overlapping matches == Python
+    ``len(re.findall(...))`` (RE2 ``\\w``/``\\s`` match the DuckDB oracle's
+    regexp engine class)."""
+    texts = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(texts), pa.int64())
+    n_words = pc.cast(
+        pc.count_substring_regex(texts, pattern=r"\w+"), pa.int64()
+    )
+    n_punct = pc.cast(
+        pc.count_substring_regex(texts, pattern=r"[^\w\s]"), pa.int64()
+    )
     return (
-        batch.append_column("n_chars_calc", pa.array(n_chars, type=pa.int64()))
-        .append_column("n_words", pa.array(n_words, type=pa.int64()))
-        .append_column("n_punct", pa.array(n_punct, type=pa.int64()))
+        batch.append_column("n_chars_calc", n_chars)
+        .append_column("n_words", n_words)
+        .append_column("n_punct", n_punct)
     )
 
 

@@ -430,6 +430,69 @@ def test_duplicate_span_stats(ray_session):
     assert out.loc[2, "n_windows"] == 9 - 8 + 1
 
 
+def test_dupspan_batch_kernel_matches_scalar():
+    """The vectorized DupSpanStage batch kernel emits exactly the scalar
+    ``window_hashes`` multiset per doc — multiplicity preserved (duplicate
+    windows inside one doc each count), short/empty docs emit one row."""
+    import pyarrow as pa
+
+    from spacy_llm_ray.stages.dedup import DupSpanStage
+
+    texts = [
+        "one two three four five six seven eight nine ten",
+        "",                                  # wordless -> single hash 0
+        "short doc",                         # < window -> full-list hash
+        "a b c d e f g h",                   # exactly one window
+        ("rep rep rep rep rep rep rep rep extra rep rep rep rep rep rep "
+         "rep rep"),                         # repeated window: multiplicity
+        "  leading   and \t trailing  ws ",  # whitespace-split edges
+        "Case SENSITIVE case sensitive tokens differ here right now ok",
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    stage = DupSpanStage(window=8)
+    out = stage(batch)
+    mask = (1 << 64) - 1
+    got: dict = {i: [] for i in range(len(texts))}
+    for d, h in zip(out["doc_id"].to_pylist(), out["win_hash"].to_pylist()):
+        got[d].append(h & mask)  # int64 two's-complement -> uint64 value
+    for i, t in enumerate(texts):
+        expected = [h & mask for h in stage.window_hashes(t)]
+        assert sorted(got[i]) == sorted(expected), f"doc {i}"
+    # Empty doc emits exactly one row with hash 0 (the oracle's '' window).
+    assert got[1] == [0]
+    # The repeated-window doc (17 words, window 8 -> 10 windows) keeps
+    # duplicate fingerprints with multiplicity.
+    assert len(got[4]) == 10
+    assert len(set(got[4])) < len(got[4])
+
+
+def test_simhash_batch_kernel_matches_scalar():
+    import pyarrow as pa
+
+    from spacy_llm_ray.stages.dedup import SimHashStage
+
+    texts = [
+        "hello world foo bar baz hello hello",
+        "",
+        "one",
+        "punct!! heavy... text-with_underscores 123",
+        "UPPER Case MiXeD upper case mixed",
+        "the quick brown fox jumps over the lazy dog " * 5,
+        "   ",
+    ]
+    stage = SimHashStage()
+    ref = stage._simhash_many(texts)
+    got = stage._simhash_batch(pa.array(texts))
+    assert (got == ref).all()
+    out = stage(pa.table({"text": pa.array(texts)}))
+    assert out["simhash"].to_pylist() == list(ref)
+
+
 def test_bpe_token_count():
     import pyarrow as pa
 
