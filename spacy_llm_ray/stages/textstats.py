@@ -11,8 +11,6 @@ import hashlib
 import re
 from typing import Dict, List
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
