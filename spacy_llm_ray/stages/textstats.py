@@ -107,6 +107,7 @@ class LangIdStage:
         self._word_re = _WORD_RE
 
     def _predict(self, text: str) -> str:
+        """Scalar reference path (parity-tested against the batch kernel)."""
         if not text:
             return "und"
         cjk = sum(1 for ch in text[:200] if "一" <= ch <= "鿿")
@@ -122,9 +123,78 @@ class LangIdStage:
                 best_lang, best_score = lang, score
         return best_lang if best_score > 0.05 else "und"
 
+    def _predict_batch(self, texts) -> pa.Array:
+        """Whole-batch kernel: Arrow slice/regex-count for the CJK
+        short-circuit, Arrow tokenize (``utf8_lower`` + ``\\W+`` split ==
+        the scalar ``\\w+`` findall on this ASCII corpus, same trade as the
+        dedup kernels), then one ``pc.is_in`` + bincount per language
+        profile. Scores divide as float64 exactly like the scalar path, so
+        tie/threshold behavior is bit-identical."""
+        import numpy as np
+
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n_docs = len(texts)
+        if n_docs == 0:
+            return pa.array([], type=pa.string())
+        head = pc.utf8_slice_codeunits(texts, 0, 200)
+        head_len = pc.utf8_length(head).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        cjk = pc.count_substring_regex(
+            head, pattern="[一-鿿]"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        is_zh = cjk > head_len * 0.2
+        word_lists = pc.split_pattern_regex(
+            pc.utf8_lower(texts), pattern=r"\W+"
+        )
+        if isinstance(word_lists, pa.ChunkedArray):
+            word_lists = word_lists.combine_chunks()
+        raw_counts = pc.list_value_length(word_lists).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = word_lists.flatten()
+        keep = pc.greater(pc.binary_length(flat), 0)
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(
+            np.arange(n_docs, dtype=np.int64), raw_counts
+        )[keep_np]
+        words = flat.filter(keep)
+        counts = np.bincount(doc_idx, minlength=n_docs).astype(np.float64)
+        nz = counts > 0
+        best_lang = np.full(n_docs, "und", dtype=object)
+        best_score = np.zeros(n_docs, dtype=np.float64)
+        for lang, value_set in self._profile_arrays.items():
+            hit = pc.is_in(words, value_set=value_set).to_numpy(
+                zero_copy_only=False
+            )
+            lang_counts = np.bincount(
+                doc_idx[hit], minlength=n_docs
+            ).astype(np.float64)
+            score = np.divide(
+                lang_counts, counts, out=np.zeros(n_docs), where=nz
+            )
+            better = score > best_score
+            best_lang[better] = lang
+            best_score[better] = score[better]
+        out = np.where(best_score > 0.05, best_lang, "und")
+        out = np.where(is_zh, "zh", out)
+        return pa.array(out.tolist(), type=pa.string())
+
+    @property
+    def _profile_arrays(self):
+        arrays = getattr(self, "_profile_arrays_cache", None)
+        if arrays is None:
+            arrays = {
+                lang: pa.array(sorted(stops))
+                for lang, stops in self._profiles.items()
+            }
+            self._profile_arrays_cache = arrays
+        return arrays
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self._predict(t) for t in batch[self._text_col].to_pylist()]
-        return batch.append_column(self._out_col, pa.array(preds))
+        preds = self._predict_batch(batch[self._text_col])
+        return batch.append_column(self._out_col, preds)
 
 
 # GPT-2-style pre-tokenizer split pattern, lookahead-free so the identical

@@ -493,6 +493,33 @@ def test_simhash_batch_kernel_matches_scalar():
     assert out["simhash"].to_pylist() == list(ref)
 
 
+def test_langid_batch_kernel_matches_scalar():
+    import pyarrow as pa
+
+    from spacy_llm_ray.stages.textstats import LangIdStage
+
+    stage = LangIdStage()
+    texts = [
+        "the quick and fast table row value scan",
+        "der wert ist nicht schnell die zeile und tabelle",
+        "le la les et est pas rapide",
+        "el valor de la tabla es rapido",   # 'la'/'es' overlap fr; order+score decide
+        "",
+        "   ",
+        "xyzzy qwerty asdf",
+        "一二三四五六七八九十" * 5,          # CJK short-circuit
+        "mixed 一二三 the and of to a in is it words here",  # CJK below ratio
+        "the",                              # single word, score 1.0
+        # exactly 1 stopword in 20 words: score == 0.05 is NOT > 0.05 -> und
+        "the xx yy zz aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp",
+    ]
+    ref = [stage._predict(t) for t in texts]
+    got = stage._predict_batch(pa.array(texts)).to_pylist()
+    assert got == ref
+    out = stage(pa.table({"text": pa.array(texts)}))
+    assert out["lang_pred"].to_pylist() == ref
+
+
 def test_bpe_token_count():
     import pyarrow as pa
 
