@@ -196,3 +196,84 @@ def test_example_coercion_roundtrip(dicts):
     assert back == dicts
     # idempotent on already-coerced objects
     assert coerce_examples(objs, SpanCoTExample) == objs
+
+
+# --------------------------------------------------------------------------
+# Round-5 whole-batch kernels: the vectorized Arrow/numpy paths must emit
+# EXACTLY what the scalar reference paths emit, over arbitrary ASCII text.
+# (ASCII because the batch kernels tokenize with RE2 `\w`/whitespace classes
+# while the scalar paths use Python `re` — identical on ASCII, the corpus
+# contract documented in stages/dedup._flat_word_hashes.)
+
+ascii_tokens = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=10,
+)
+ascii_texts = st.lists(ascii_tokens, min_size=0, max_size=25).map(" ".join)
+ascii_batches = st.lists(ascii_texts, min_size=0, max_size=8)
+
+
+@given(ascii_batches, st.integers(min_value=2, max_value=9))
+@settings(max_examples=100, deadline=None)
+def test_dupspan_batch_scalar_parity_property(texts, window):
+    import pyarrow as pa
+
+    from spacy_llm_ray.stages.dedup import DupSpanStage
+
+    stage = DupSpanStage(window=window)
+    out = stage(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    mask = (1 << 64) - 1
+    got = {i: [] for i in range(len(texts))}
+    for d, h in zip(out["doc_id"].to_pylist(), out["win_hash"].to_pylist()):
+        got[d].append(h & mask)
+    for i, t in enumerate(texts):
+        assert sorted(got[i]) == sorted(h & mask for h in stage.window_hashes(t))
+
+
+@given(ascii_batches)
+@settings(max_examples=100, deadline=None)
+def test_simhash_batch_scalar_parity_property(texts):
+    import pyarrow as pa
+
+    stage = SimHashStage()
+    ref = stage._simhash_many(texts)
+    got = stage._simhash_batch(pa.array(texts, type=pa.string()))
+    assert list(got) == list(ref)
+
+
+# LangId batches mix stopwords from every profile, noise words, and CJK
+# runs so the scoring tie-break, the 0.05 threshold, and the CJK
+# short-circuit all get exercised.
+_langid_word = st.one_of(
+    st.sampled_from(
+        "the and of la le les el los und der die est es no value tabla".split()
+    ),
+    st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+        min_size=1,
+        max_size=6,
+    ),
+    st.sampled_from(["一二三", "一二三四五六七八九十" * 3]),
+)
+_langid_texts = st.lists(_langid_word, min_size=0, max_size=30).map(" ".join)
+
+
+@given(st.lists(_langid_texts, min_size=0, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_langid_batch_scalar_parity_property(texts):
+    import pyarrow as pa
+
+    from spacy_llm_ray.stages.textstats import LangIdStage
+
+    stage = LangIdStage()
+    ref = [stage._predict(t) for t in texts]
+    got = stage._predict_batch(pa.array(texts, type=pa.string())).to_pylist()
+    assert got == ref
