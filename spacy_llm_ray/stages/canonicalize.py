@@ -23,7 +23,7 @@ NIL components: smallest original surface.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import pyarrow as pa
 
@@ -489,12 +489,41 @@ def build_canonical_mapping_dataset(
     ).repartition(num_partitions)  # joins also emit schema-less empties
 
 
-def canonicalize_triples_joined(triples_ds, mapping_ds, num_partitions: int = 8):
+def canonicalize_triples_joined(
+    triples_ds, mapping_ds, num_partitions: Optional[int] = None
+):
     """Join-based apply for when the mapping exceeds driver/broadcast size:
     two hash joins (subj, obj) against the (surface, canon_id, canon_name)
     mapping Dataset instead of a broadcast dict. Output columns match
-    :func:`canonicalize_triples`."""
-    out = triples_ds
+    :func:`canonicalize_triples`.
+
+    ``num_partitions`` defaults byte-derived from the triple table (~64 MB
+    per join partition, floored at the cluster default) when its size is
+    known (materialized input), else to the cluster default.
+    """
+    if num_partitions is None:
+        sz = None
+        try:
+            from ray.data.dataset import MaterializedDataset
+
+            if isinstance(triples_ds, MaterializedDataset):
+                sz = triples_ds.size_bytes()
+        except Exception:
+            sz = None
+        num_partitions = (
+            int(max(_default_partitions(), -(-sz // (64 << 20))))
+            if sz
+            else _default_partitions()
+        )
+    # Rebuild the input blocks before the first join: the distinct-triples
+    # groupby upstream (sort-shuffle map_groups) emits SCHEMA-LESS empty
+    # blocks whenever it has more output partitions than occupied groups —
+    # how many depends on the session's block counts, so a warm session can
+    # produce them where a fresh one doesn't — and a schema-less block on
+    # either side of a hash join dies in the aggregator with ArrowInvalid
+    # ("No match ... for key field reference"). repartition rebuilds blocks
+    # and drops the empties (same guard as _bucketed_group_min's tail).
+    out = triples_ds.repartition(num_partitions)
     for side in ("subj", "obj"):
         m = mapping_ds.map_batches(
             lambda b, s=side: pa.table(

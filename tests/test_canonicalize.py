@@ -224,3 +224,56 @@ def test_canon_auto_route_by_pair_estimate(ray_session, monkeypatch):
         "route": "driver",
         "forced": True,
     }
+
+
+def test_canonicalize_joined_survives_schemaless_empty_blocks(ray_session, kb):
+    """Regression: distinct_triples' sort-shuffle map_groups emits
+    SCHEMA-LESS empty blocks whenever it has more output partitions than
+    occupied buckets (a function of the session's block counts — warm
+    sessions produced them where fresh ones didn't), and a schema-less
+    block on a hash-join side dies in the aggregator with ArrowInvalid.
+    canonicalize_triples_joined must rebuild its input blocks first."""
+    from spacy_llm_ray.stages.canonicalize import (
+        build_canonical_mapping_dataset,
+        canonicalize_triples_joined,
+    )
+
+    # Deterministically manufacture the failing shape: 12 input partitions,
+    # 3 occupied groups -> >= 9 schema-less empty output blocks.
+    raw = _triples_ds(_CHAIN_ROWS)
+    cols = raw.schema().names
+
+    def add_bucket(batch):
+        import pyarrow.compute as _pc
+
+        n = batch.num_rows
+        return batch.append_column(
+            "_bucket", pa.array([i % 3 for i in range(n)], pa.int32())
+        )
+
+    bumpy = (
+        raw.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(12)
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: g.drop(columns=["_bucket"]), batch_format="pandas"
+        )
+    )
+    mapping_ds = build_canonical_mapping_dataset(_triples_ds(_CHAIN_ROWS), kb)
+    joined = (
+        canonicalize_triples_joined(bumpy, mapping_ds)
+        .to_pandas()
+        .sort_values(["conv_id"])
+        .reset_index(drop=True)
+    )
+    broadcast = (
+        canonicalize_triples(_triples_ds(_CHAIN_ROWS), kb)
+        .to_pandas()
+        .sort_values(["conv_id"])
+        .reset_index(drop=True)
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(
+        joined[sorted(joined.columns)], broadcast[sorted(broadcast.columns)]
+    )
