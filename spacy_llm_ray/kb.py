@@ -30,9 +30,16 @@ class InMemoryKB:
 
     entities: Dict[str, Tuple[str, str]] = field(default_factory=dict)  # qid -> (name, desc)
     aliases: Dict[str, List[Tuple[str, float]]] = field(default_factory=dict)
+    # Mutation counter consumed by the dispatch layer's per-object digest
+    # memo (stages/dispatch.py): bumping it on every mutator means a KB
+    # edited in place between pipeline invocations re-digests to a NEW
+    # content key instead of silently reusing a warm stage built on the
+    # old contents.
+    _content_version: int = field(default=0, init=False, repr=False, compare=False)
 
     def add_entity(self, qid: str, name: str, desc: str) -> None:
         self.entities[qid] = (name, desc)
+        self._content_version += 1
 
     def add_alias(self, alias: str, entities: Sequence[str], probabilities: Sequence[float]) -> None:
         for qid in entities:
@@ -41,6 +48,7 @@ class InMemoryKB:
                     f"alias {alias!r} references entity {qid!r} not declared in `entities`"
                 )
         self.aliases[alias] = list(zip(entities, probabilities))
+        self._content_version += 1
 
     def get_entity_description(self, qid: str) -> str:
         ent = self.entities.get(qid)

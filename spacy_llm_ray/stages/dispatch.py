@@ -69,7 +69,16 @@ _KEY_BYTES: Dict[str, int] = {}  # content key -> approx payload bytes
 # finalizer evicting the entry when the object dies, so a recycled id can
 # never alias a dead object's digest. Only payloads >= _MEMO_MIN_BYTES are
 # memoized — small values re-hash in microseconds.
-_OBJ_DIGEST_MEMO: Dict[int, Tuple[str, int]] = {}
+#
+# IN-PLACE MUTATION contract: a memo hit returns the digest of the object
+# AS IT WAS when first dispatched, so mutating a memoized payload in place
+# would silently reuse a warm stage built on the OLD contents. Guards:
+# writeable numpy arrays are never memoized (their raw-buffer hash is
+# cheap — freeze an array with ``arr.flags.writeable = False`` to opt in),
+# and objects exposing an integer ``_content_version`` (``InMemoryKB``
+# bumps it in every mutator) are re-digested whenever the version moved.
+# Other large pickled objects must not be mutated between invocations.
+_OBJ_DIGEST_MEMO: Dict[int, Tuple[str, int, Any]] = {}
 _MEMO_MIN_BYTES = 1 << 20
 
 
@@ -78,7 +87,7 @@ def _memoize_digest(v: Any, digest: str, nbytes: int) -> None:
         weakref.finalize(v, _OBJ_DIGEST_MEMO.pop, id(v), None)
     except TypeError:  # not weakref-able: unsafe to key by id
         return
-    _OBJ_DIGEST_MEMO[id(v)] = (digest, nbytes)
+    _OBJ_DIGEST_MEMO[id(v)] = (digest, nbytes, getattr(v, "_content_version", None))
 
 
 def _value_digest(v: Any) -> Tuple[str, int]:
@@ -95,7 +104,11 @@ def _value_digest(v: Any) -> Tuple[str, int]:
 
     cached = _OBJ_DIGEST_MEMO.get(id(v))
     if cached is not None:
-        return cached
+        digest, nbytes, seen_ver = cached
+        # Objects with a _content_version re-digest after any mutation;
+        # see the mutation contract on _OBJ_DIGEST_MEMO.
+        if seen_ver == getattr(v, "_content_version", None):
+            return digest, nbytes
     if isinstance(v, dict):
         parts = []
         total = 0
@@ -119,7 +132,10 @@ def _value_digest(v: Any) -> Tuple[str, int]:
         h = hashlib.sha256(str((a.dtype.str, a.shape)).encode())
         h.update(memoryview(a).cast("B"))
         out = (f"nd:{h.hexdigest()}", a.nbytes)
-        if a.nbytes >= _MEMO_MIN_BYTES:
+        # Memoize only frozen arrays: a writeable array mutated in place
+        # would keep serving its stale digest (the raw-buffer hash above
+        # is cheap enough to recompute — no pickle copy either way).
+        if a.nbytes >= _MEMO_MIN_BYTES and not v.flags.writeable:
             _memoize_digest(v, *out)
         return out
     from ray import cloudpickle

@@ -155,10 +155,13 @@ def test_large_value_digest_memoized_per_object(ray_session):
     """r4 ADVICE (low): a large payload must be serialized+hashed once per
     live OBJECT, not once per stage_map_batches call — and the memo entry
     must die with the object (weakref finalizer), never aliasing a
-    recycled id."""
+    recycled id. Arrays opt in to the memo by being frozen (writeable
+    arrays re-hash every call so in-place mutation can't serve a stale
+    digest — see test_digest_memo_mutation_guards)."""
     import numpy as np
 
     big = np.arange(1_000_000, dtype=np.float64)  # 8 MB, > _MEMO_MIN_BYTES
+    big.flags.writeable = False
     k1 = dispatch._content_key(_CountingStage, {"m": big, "tag": "a"})
     assert id(big) in dispatch._OBJ_DIGEST_MEMO
     d1 = dispatch._OBJ_DIGEST_MEMO[id(big)]
@@ -166,7 +169,7 @@ def test_large_value_digest_memoized_per_object(ray_session):
     assert k1 == k2
     assert dispatch._OBJ_DIGEST_MEMO[id(big)] is d1  # memo hit, no re-hash
     # Content-equal but distinct object -> same digest (content key, not
-    # identity key).
+    # identity key) — writeable or not.
     big2 = np.arange(1_000_000, dtype=np.float64)
     assert dispatch._content_key(_CountingStage, {"m": big2, "tag": "a"}) == k1
     # Nested inside a kwargs dict still hits the leaf memo.
@@ -227,3 +230,41 @@ def test_default_task_cap_bounds_flagship_fanout(ray_session):
         t.join()
     assert results[0] == [x * 2 for x in range(400)]
     assert results[1] == [x * 3 for x in range(400)]
+
+
+def test_digest_memo_mutation_guards():
+    """In-place-mutation contract of the per-object digest memo: writeable
+    numpy arrays are never memoized (mutation must change the content key),
+    frozen arrays are, and an object bumping _content_version (InMemoryKB's
+    mutators) re-digests to a new key after mutation."""
+    import numpy as np
+
+    # Writeable array (> _MEMO_MIN_BYTES): mutation changes the key.
+    arr = np.zeros(1 << 18, dtype=np.int64)  # 2 MiB
+    k1 = dispatch._content_key(_CountingStage, {"m": arr})
+    assert id(arr) not in dispatch._OBJ_DIGEST_MEMO
+    arr[0] = 7
+    assert dispatch._content_key(_CountingStage, {"m": arr}) != k1
+
+    # Frozen array: memoized, key stable across calls.
+    frozen = np.ones(1 << 18, dtype=np.int64)
+    frozen.flags.writeable = False
+    f1 = dispatch._content_key(_CountingStage, {"m": frozen})
+    assert id(frozen) in dispatch._OBJ_DIGEST_MEMO
+    assert dispatch._content_key(_CountingStage, {"m": frozen}) == f1
+
+    # Versioned object: a KB big enough to be memoized re-digests after a
+    # mutator bumps _content_version.
+    from spacy_llm_ray.kb import InMemoryKB
+
+    kb = InMemoryKB()
+    for i in range(300):  # ~1.2 MB pickled (distinct strings: no pickle memo)
+        kb.add_entity(f"Q{i}", f"Entity {i}", f"{i}:" + "x" * 4096)
+    b1 = dispatch._content_key(_CountingStage, {"kb": kb})
+    assert id(kb) in dispatch._OBJ_DIGEST_MEMO
+    assert dispatch._content_key(_CountingStage, {"kb": kb}) == b1
+    kb.add_alias("entity 0", ["Q0"], [1.0])
+    b2 = dispatch._content_key(_CountingStage, {"kb": kb})
+    assert b2 != b1
+    # And the memo now serves the post-mutation digest, stably.
+    assert dispatch._content_key(_CountingStage, {"kb": kb}) == b2
