@@ -535,6 +535,11 @@ def q_revenue_by_nation(sf_dir: str):
     n_parts = _join_partitions(
         _table_bytes(sf_dir, "orders"), _table_bytes(sf_dir, "customer")
     )
+    # repartition: groupby().aggregate() emits schema-less empty blocks when
+    # its sort-shuffle partition count exceeds distinct keys (warm-session
+    # regime), and those crash the hash join below — rebuilding blocks
+    # drops them. Same hazard/fix as canonicalize._bucketed_group_min.
+    orders = orders.repartition(n_parts)
     joined = orders.join(
         cust,
         join_type="inner",
@@ -936,6 +941,10 @@ def q_docs_curation(sf_dir: str):
     # Byte-derived (r3 VERDICT #8): the joined sides are per-doc key/flag
     # projections of the documents table, so documents' size bounds both.
     n_join = _join_partitions(_table_bytes(sf_dir, "documents"))
+    # repartition: groupby().aggregate() emits schema-less empty blocks when
+    # partitions exceed distinct fingerprints (warm-session regime); they
+    # crash the hash join below. Rebuilding blocks drops them.
+    exact_groups = exact_groups.repartition(n_join)
     joined = enriched.select_columns(
         ["doc_id", "lang_pred", "n_words", "fingerprint"]
     ).join(
