@@ -31,7 +31,12 @@ import pyarrow.compute as pc
 
 from .arrow_utils import list_column_matrix, pandas_udf
 
-_WORD_RE = re.compile(r"\w+", re.UNICODE)
+# ASCII class: the vectorized kernels tokenize with RE2 \W+ (Arrow) and
+# the SQL oracles with DuckDB regexp_extract_all — both RE2-class engines
+# where \w = [0-9A-Za-z_]. The scalar reference/verifier paths must use
+# the same class, or the exact-Jaccard verifier and MinHash candidates
+# tokenize non-ASCII text differently from each other AND the oracle.
+_WORD_RE = re.compile(r"\w+", re.ASCII)
 
 
 def _stable_hash64(s: str) -> int:
@@ -148,10 +153,10 @@ def _flat_word_hashes(
     ``fstart[d]`` doc ``d``'s offset into ``wh_flat``.
 
     ``whitespace=False``: ``utf8_lower`` + ``split_pattern_regex`` on RE2
-    ``\\W+`` with empties dropped — on ASCII text identical to a per-doc
-    Python ``re`` ``\\w+`` findall, and exactly the semantics of the DuckDB
-    oracles' ``regexp_extract_all`` (both RE2-class engines treat ``\\w`` as
-    ``[0-9A-Za-z_]``). ``whitespace=True``: ``utf8_split_whitespace`` with
+    ``\\W+`` with empties dropped — identical to the per-doc Python
+    ``_WORD_RE`` (``\\w+`` with ``re.ASCII``) findall, and exactly the
+    semantics of the DuckDB oracles' ``regexp_extract_all`` (all three are
+    the RE2 ``\\w`` = ``[0-9A-Za-z_]`` class, on any input). ``whitespace=True``: ``utf8_split_whitespace`` with
     empties dropped == Python ``str.split()`` == the oracles'
     ``string_split_regex(text, '\\s+')`` + empty filter; case-preserving.
 
@@ -159,6 +164,10 @@ def _flat_word_hashes(
     cross-batch _WordHasher cache).
     """
     n_docs = len(texts)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    # Null texts -> "" (0 words) instead of NaN counts crashing np.repeat.
+    texts = pc.fill_null(texts, "")
     if whitespace:
         word_lists = pc.utf8_split_whitespace(texts)
     else:

@@ -14,8 +14,13 @@ from typing import Dict, List
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_WORD_RE = re.compile(r"\w+", re.UNICODE)
-_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+# ASCII class: Python's re.UNICODE \w matches accented/CJK letters that
+# RE2 engines (Arrow's count_substring_regex, DuckDB's regexp_*) do not,
+# so the scalar reference paths must use the same ASCII [0-9A-Za-z_]
+# class as the vectorized kernels and the SQL oracles — otherwise keep
+# flags / counts silently diverge on non-ASCII corpora.
+_WORD_RE = re.compile(r"\w+", re.ASCII)
+_PUNCT_RE = re.compile(r"[^\w\s]", re.ASCII)
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -52,8 +57,13 @@ def quality_counters_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    fps = [hashlib.md5(t.encode()).hexdigest() for t in batch[text_col].to_pylist()]
-    return batch.append_column("fingerprint", pa.array(fps))
+    # None -> None: null-propagating like the Arrow kernels (and DuckDB's
+    # md5(NULL) = NULL), instead of crashing on .encode().
+    fps = [
+        hashlib.md5(t.encode()).hexdigest() if t is not None else None
+        for t in batch[text_col].to_pylist()
+    ]
+    return batch.append_column("fingerprint", pa.array(fps, type=pa.string()))
 
 
 def rolling_hash_fingerprint_batch(
@@ -64,6 +74,9 @@ def rolling_hash_fingerprint_batch(
     under whitespace-preserving edits outside the minimal window)."""
     out = []
     for t in batch[text_col].to_pylist():
+        if t is None:  # null-propagate like the other kernels
+            out.append(None)
+            continue
         words = t.split()
         if len(words) < window:
             h = hash_words(words)
@@ -126,9 +139,8 @@ class LangIdStage:
     def _predict_batch(self, texts) -> pa.Array:
         """Whole-batch kernel: Arrow slice/regex-count for the CJK
         short-circuit, Arrow tokenize (``utf8_lower`` + ``\\W+`` split ==
-        the scalar ``\\w+`` findall on this ASCII corpus, same trade as the
-        dedup kernels), then one ``pc.is_in`` + bincount per language
-        profile. Scores divide as float64 exactly like the scalar path, so
+        the scalar ASCII ``\\w+`` findall — same RE2 word class), then one
+        ``pc.is_in`` + bincount per language profile. Scores divide as float64 exactly like the scalar path, so
         tie/threshold behavior is bit-identical."""
         import numpy as np
 
@@ -137,6 +149,10 @@ class LangIdStage:
         n_docs = len(texts)
         if n_docs == 0:
             return pa.array([], type=pa.string())
+        # Null texts -> "" so the vectorized pipeline scores them "und"
+        # like the scalar path did (a null otherwise propagates NaN into
+        # the repeat-counts and crashes np.repeat).
+        texts = pc.fill_null(texts, "")
         head = pc.utf8_slice_codeunits(texts, 0, 200)
         head_len = pc.utf8_length(head).to_numpy(
             zero_copy_only=False
@@ -219,7 +235,8 @@ def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     if _BPE_RE is None:
         raise RuntimeError("the `regex` package is required for BPE counting")
     counts = [
-        len(_BPE_RE.findall(t)) for t in batch[text_col].to_pylist()
+        len(_BPE_RE.findall(t)) if t is not None else None
+        for t in batch[text_col].to_pylist()
     ]
     return batch.append_column(
         "n_bpe_tokens", pa.array(counts, type=pa.int64())
