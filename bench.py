@@ -105,7 +105,11 @@ def calibration_parallel_sec() -> float:
     import multiprocessing as mp
 
     n = _CALIBRATION_PAR_PROCS
-    with mp.Pool(n) as pool:
+    # spawn, not fork: run_bench() calls this AFTER ray.init, and forking
+    # a live Ray driver (its gRPC/raylet threads) can deadlock the child.
+    # The timed section is unaffected — pool startup and the warm-up map
+    # are untimed, so the recorded _CALIBRATION_PAR_REF_SEC stays valid.
+    with mp.get_context("spawn").Pool(n) as pool:
         pool.map(_cal_child, range(n))  # warm the workers, untimed
         t0 = time.monotonic()
         pool.map(_cal_child, range(2 * n))

@@ -1449,20 +1449,33 @@ _MEDIA_N = 64
 
 def _media_gold_digest() -> str:
     import hashlib
-    import inspect
 
     from ..stages import multimodal as mm
 
-    src = "".join(
-        inspect.getsource(f)
-        for f in (
-            mm.media_features_gold,
-            mm._media_raw_items,
-            mm.resize_nearest,
-            mm.frame_sample_indices,
-            mm.encode_wav,
+    try:
+        import inspect
+
+        src = "".join(
+            inspect.getsource(f)
+            for f in (
+                mm.media_features_gold,
+                mm._media_raw_items,
+                mm.resize_nearest,
+                mm.frame_sample_indices,
+                mm.encode_wav,
+            )
         )
-    )
+    except Exception:
+        # Source-less deployment (zipapp / pyc-only): inspect.getsource
+        # raises, and this runs at module scope — it must not break import
+        # of the whole query registry. Fall back to hashing the module
+        # FILE bytes (still auto-invalidates on any module change, just
+        # coarser), then to a fixed tag as the last resort.
+        try:
+            with open(mm.__file__, "rb") as fh:
+                src = fh.read().hex()
+        except Exception:
+            return "nosrc"
     return hashlib.sha256(f"{src}:n={_MEDIA_N}".encode()).hexdigest()[:12]
 
 

@@ -39,6 +39,17 @@ from .arrow_utils import list_column_matrix, pandas_udf
 _WORD_RE = re.compile(r"\w+", re.ASCII)
 
 
+def _round6_half_away(x: np.ndarray) -> np.ndarray:
+    """``round(x, 6)`` with DuckDB's half-away-from-zero tie rule.
+
+    ``np.round`` ties half-to-even, so a cosine landing exactly on a
+    half-microunit would round — and therefore threshold/compare —
+    differently from the SQL oracles' ``round()`` (same convention as the
+    ``pc.round(..., 'half_towards_infinity')`` used by the tabular
+    queries)."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def _stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big", signed=False)
 
@@ -1155,7 +1166,7 @@ def embedding_neardup_pairs(
                         "a": pa.array(li[ia[mask]], type=pa.int64()),
                         "b": pa.array(li[ib[mask]], type=pa.int64()),
                         "cos": pa.array(
-                            np.round(sims[ia[mask], ib[mask]], 6),
+                            _round6_half_away(sims[ia[mask], ib[mask]]),
                             type=pa.float64(),
                         ),
                     }
@@ -1235,7 +1246,9 @@ def embedding_sampled_exact_pairs(
             {
                 "a": pa.array(a, type=pa.int64()),
                 "b": pa.array(b, type=pa.int64()),
-                "cos": pa.array(np.round(sims[bi, qi], 6), type=pa.float64()),
+                "cos": pa.array(
+                    _round6_half_away(sims[bi, qi]), type=pa.float64()
+                ),
             }
         ) if len(a) else _schema.empty_table()
 

@@ -216,8 +216,10 @@ def test_default_task_cap_bounds_flagship_fanout(ray_session):
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    assert dispatch._default_task_cap(1) == max(2, cpus)
-    assert dispatch._default_task_cap(2) == max(2, cpus // 2)
+    # 2x headroom over the build-time slot snapshot (r5 review: a static
+    # snapshot otherwise permanently caps an autoscaling cluster).
+    assert dispatch._default_task_cap(1) == max(2, 2 * cpus)
+    assert dispatch._default_task_cap(2) == max(2, 2 * (cpus // 2))
 
     results = {}
     threads = [
